@@ -1,0 +1,143 @@
+"""Chain integration tests (SURVEY.md section 4 class 3): the BASELINE
+configs as end-to-end pipelines, including fused-vs-composed equivalence."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpudsp.chains import (
+    AMConfig, AMReceiver, BankConfig, ReceiverBank, WBFMStereoReceiver,
+    mono_receiver,
+)
+from tests.util import snr_db, noise
+
+
+def _am_iq(n, iq_rate=2_000_000.0, f_msg=1000.0, mod=0.5, f_off=200.0):
+    t = np.arange(n)
+    msg = np.sin(2 * np.pi * f_msg / iq_rate * t)
+    env = (1.0 + mod * msg) * 0.3
+    return (env * np.exp(2j * np.pi * f_off / iq_rate * t)).astype(np.complex64), msg
+
+
+def test_am_receiver_fused_equals_composed():
+    """LTI commutation: folding the bandpass into the polyphase prototype
+    must reproduce the composed chain."""
+    n = 250_000
+    iq, _ = _am_iq(n)
+    cfg = AMConfig()
+    rx_f = AMReceiver(cfg, block_len=n, plan="fused", exact=True)
+    rx_c = AMReceiver(cfg, block_len=n, plan="composed", exact=True)
+    assert rx_f.plan == "fused"
+    pcm_f = np.asarray(rx_f(iq))
+    pcm_c = np.asarray(rx_c(iq))
+    assert pcm_f.shape == pcm_c.shape == (rx_f.n_out,)
+    # identical up to float reordering of the same LTI math
+    assert snr_db(pcm_c[200:], pcm_f[200:]) > 45.0
+
+
+def test_am_receiver_recovers_audio():
+    n = 1_000_000  # blocks of 250k: 250000 * 0.024 = 6000 outputs exactly
+    iq, _ = _am_iq(n)
+    rx = AMReceiver(AMConfig(), block_len=n // 4, plan="fused", exact=False)
+    pcm = []
+    for i in range(0, n, n // 4):
+        pcm.append(np.asarray(rx(iq[i:i + n // 4])))
+    pcm = np.concatenate(pcm)
+    tail = pcm[len(pcm) // 2:]
+    spec = np.abs(np.fft.rfft(tail * np.hanning(len(tail))))
+    freqs = np.fft.rfftfreq(len(tail), 1 / 48000.0)
+    peak = freqs[np.argmax(spec[5:]) + 5]
+    assert abs(peak - 1000.0) < 20.0
+    inband = spec[(freqs > 900) & (freqs < 1100)].max()
+    outband = spec[freqs > 1500].max()
+    assert 20 * np.log10(inband / outband) > 40.0
+
+
+def test_am_receiver_block_invariance():
+    """Same stream split differently -> same audio (carried state correct)."""
+    n = 500_000
+    iq, _ = _am_iq(n)
+    cfg = AMConfig()
+    rx1 = AMReceiver(cfg, block_len=n, plan="fused", exact=True)
+    y1 = np.asarray(rx1(iq))
+    rx2 = AMReceiver(cfg, block_len=n // 4, plan="fused", exact=True)
+    y2 = np.concatenate([np.asarray(rx2(iq[i:i + n // 4]))
+                         for i in range(0, n, n // 4)])
+    assert y1.shape == y2.shape
+    assert snr_db(y1[100:], y2[100:]) > 60.0
+
+
+def test_fm_bank_recovers_per_channel_audio():
+    """Config 3: shared stream carrying two FM stations; each channel's
+    audio comes out of its own bank slot."""
+    iq_rate = 2_400_000.0
+    n = 500_000  # multiple of decim1*decim2 = 50
+    t = np.arange(n)
+    dev = 75_000.0
+    kd = dev / iq_rate   # synth: inst. freq = kd*fs*m -> +/-75 kHz peak
+    f1, f2 = 250_000.0, -400_000.0
+    m1 = np.sin(2 * np.pi * 1000.0 / iq_rate * t)
+    m2 = np.sin(2 * np.pi * 3000.0 / iq_rate * t)
+    s1 = np.exp(1j * (2 * np.pi * f1 / iq_rate * t
+                      + 2 * np.pi * kd * np.cumsum(m1)))
+    s2 = np.exp(1j * (2 * np.pi * f2 / iq_rate * t
+                      + 2 * np.pi * kd * np.cumsum(m2)))
+    iq = (0.5 * (s1 + s2)).astype(np.complex64)
+    # bank kd is normalized at the channel rate (decim1 x input sample)
+    cfg = BankConfig(freqs=(f1, f2), iq_rate=iq_rate, demod="fm", kd=kd * 10)
+    bank = ReceiverBank(cfg, block_len=n)
+    audio = np.asarray(bank(iq))
+    assert audio.shape == (2, n // 50)
+    fs_a = cfg.audio_rate
+    for c, f_msg in ((0, 1000.0), (1, 3000.0)):
+        tail = audio[c, audio.shape[1] // 4:]
+        spec = np.abs(np.fft.rfft(tail * np.hanning(len(tail))))
+        freqs = np.fft.rfftfreq(len(tail), 1 / fs_a)
+        peak = freqs[np.argmax(spec[3:]) + 3]
+        assert abs(peak - f_msg) < 40.0, (c, peak)
+
+
+def test_fm_bank_block_invariance():
+    iq_rate = 2_400_000.0
+    n = 200_000
+    iq = noise(n, complex_out=True, seed=9).astype(np.complex64)
+    cfg = BankConfig(freqs=(100_000.0, -200_000.0), iq_rate=iq_rate, kd=0.3125)
+    b1 = ReceiverBank(cfg, block_len=n)
+    y1 = np.asarray(b1(iq))
+    b2 = ReceiverBank(cfg, block_len=n // 4)
+    y2 = np.concatenate([np.asarray(b2(iq[i:i + n // 4]))
+                         for i in range(0, n, n // 4)], axis=1)
+    assert y1.shape == y2.shape
+    assert snr_db(y1[:, 10:], y2[:, 10:]) > 60.0
+
+
+def test_wbfm_stereo_receiver():
+    iq_rate = 2_400_000.0
+    n = 1_000_000  # multiple of decim1*25 = 100
+    t = np.arange(n)
+    comp_rate = 600_000.0
+    # build composite at the IQ rate directly (decimation will keep <100k)
+    f_p = 19000.0 / iq_rate
+    la = np.sin(2 * np.pi * 900.0 / iq_rate * t)
+    ra = np.sin(2 * np.pi * 2500.0 / iq_rate * t)
+    comp = ((la + ra) / 2 + 0.1 * np.cos(2 * np.pi * f_p * t)
+            + ((la - ra) / 2) * np.cos(2 * np.pi * 2 * f_p * t)) * 0.04
+    kd = 4.0
+    x = np.exp(1j * 2 * np.pi * kd / 4.0 * np.cumsum(comp) * 4.0).astype(np.complex64)
+    rx = WBFMStereoReceiver(block_len=n)
+    y = rx(x)
+    assert y.ndim == 2 and y.shape[1] == 2
+    assert abs(y.shape[0] - n / 50) <= 2
+    L, R = y[:, 0], y[:, 1]
+    settle = 3 * len(L) // 4
+    w = np.hanning(len(L) - settle)
+    fl = np.fft.rfftfreq(len(L) - settle, 1 / 48000.0)
+    specL = np.abs(np.fft.rfft(L[settle:] * w))
+    specR = np.abs(np.fft.rfft(R[settle:] * w))
+    i9, i25 = np.argmin(np.abs(fl - 900)), np.argmin(np.abs(fl - 2500))
+    b = 3
+    pk = lambda s, i: np.max(s[i - b:i + b + 1])
+    # separation metric immune to the de-emphasis tilt: each tone must be
+    # stronger in its own channel than in the other by >= 10 dB
+    assert 20 * np.log10(pk(specL, i9) / pk(specR, i9)) > 10.0
+    assert 20 * np.log10(pk(specR, i25) / pk(specL, i25)) > 10.0

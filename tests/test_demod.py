@@ -1,0 +1,183 @@
+"""Demodulator round-trip integration tests (SURVEY.md section 4 class 3):
+synthetic modulated signals with known messages -> demodulated SNR
+assertions. The reference repo has no tests; these are the executable
+acceptance criteria for the demod family."""
+
+import numpy as np
+import pytest
+
+import tpudsp
+from tpudsp.kernels import ampmodem as kam
+from tests.util import snr_db, tones, noise
+
+
+def _message(n, fs=48000.0, f0=1000.0, seed=None):
+    return np.sin(2 * np.pi * (f0 / fs) * np.arange(n))
+
+
+# ---------------------------------------------------------------------------
+# FreqDem
+# ---------------------------------------------------------------------------
+def test_freqdem_roundtrip():
+    kd = 0.1
+    n = 20000
+    m = 0.8 * _message(n)
+    phase = 2 * np.pi * kd * np.cumsum(m)
+    x = np.exp(1j * phase).astype(np.complex64)
+    fd = tpudsp.FreqDem(kd)
+    y = fd(x)
+    assert snr_db(m[1:], y[1:]) > 60.0
+
+
+# ---------------------------------------------------------------------------
+# AmpModem round trips
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("am_type", ["dsb", "usb", "lsb"])
+def test_ampmodem_suppressed_roundtrip(am_type):
+    n = 20000
+    m = _message(n)
+    x = kam.modulate(m, 0.75, am_type, carrier=False).astype(np.complex64)
+    am = tpudsp.AmpModem(modulation=0.75, type=am_type, carrier=False)
+    y = am(x)
+    if am_type == "dsb":
+        assert snr_db(m, y) > 60.0
+    else:
+        # Hilbert split introduces its group delay (2m samples) and
+        # band-edge transients; compare in the settled interior
+        d = 2 * kam.HILB_M
+        assert snr_db(m[1000 - d: n - 1000 - d], y[1000:-1000]) > 40.0
+
+
+def test_ampmodem_carrier_roundtrip():
+    n = 60000
+    m = _message(n)
+    x = kam.modulate(m, 0.5, "dsb", carrier=True, carrier_freq=0.002)
+    x = x.astype(np.complex64)
+    am = tpudsp.AmpModem(modulation=0.5, type="dsb", carrier=True)
+    y = am(x)
+    # after PLL lock + DC tracker settle, the message is recovered;
+    # the DC one-pole (rho=0.9995) slightly attenuates 1 kHz/48 kHz -- fit
+    # amplitude before scoring
+    tail_m, tail_y = m[40000:], y[40000:]
+    a = np.dot(tail_m, tail_y) / np.dot(tail_m, tail_m)
+    assert 0.8 < a < 1.2
+    assert snr_db(a * tail_m, tail_y) > 40.0
+
+
+# ---------------------------------------------------------------------------
+# SSBDemod
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("band", ["usb", "lsb"])
+def test_ssbdemod_recovers_band(band):
+    n = 30000
+    f = 0.03
+    # a pure tone in the chosen sideband
+    sgn = 1.0 if band == "usb" else -1.0
+    x = np.exp(sgn * 2j * np.pi * f * np.arange(n)).astype(np.complex64)
+    dem = tpudsp.SSBDemod(band)
+    y = dem(x)
+    d = 2 * tpudsp.SSBDemod.HILB_M
+    ref = 2 * np.cos(2 * np.pi * f * (np.arange(n) - d))
+    assert snr_db(ref[1000:-1000], y[1000:-1000]) > 45.0
+    # and the demod for the *other* band rejects it
+    dem2 = tpudsp.SSBDemod("lsb" if band == "usb" else "usb")
+    z = dem2(x)
+    assert 10 * np.log10(np.mean(y[1000:-1000] ** 2) /
+                         np.mean(z[1000:-1000] ** 2)) > 40.0
+
+
+# ---------------------------------------------------------------------------
+# BroadcastAM
+# ---------------------------------------------------------------------------
+def test_broadcast_am():
+    fs = 48000.0
+    n = 60000
+    # 2 kHz message: safely inside the stopband of the 51-tap Fc=0.01
+    # pilot-extraction lowpass, so the carrier PLL sees a clean carrier
+    # (a 1 kHz message sits in that filter's transition band and phase-
+    # modulates the loop -- a property of the reference's own design)
+    m = np.sin(2 * np.pi * 2000.0 / fs * np.arange(n))
+    x = (1.0 + 0.5 * m) * np.exp(2j * np.pi * 0.001 * np.arange(n) + 1j * 0.5)
+    dem = tpudsp.BroadcastAM()
+    y = dem(x.astype(np.complex64))
+    # settled region: PLL locked, DC blocked; message recovered at 0.5 amp
+    tail_m, tail_y = 0.5 * m[40000:], y[40000:]
+    # delay of the wideband path = slen samples
+    tail_m = 0.5 * m[40000 - 25: n - 25][: len(tail_y)]
+    a = np.dot(tail_m, tail_y) / np.dot(tail_m, tail_m)
+    assert 0.7 < a < 1.3
+    assert snr_db(a * tail_m, tail_y) > 30.0
+
+
+# ---------------------------------------------------------------------------
+# FMStereo
+# ---------------------------------------------------------------------------
+def _fm_stereo_iq(left, right, iq_rate, kd=4.0):
+    """Synthesize a WBFM stereo IQ stream: composite = (L+R)/2 + pilot +
+    DSB (L-R)/2 at 38 kHz phase-locked to the 19 kHz pilot, FM-modulated
+    with the freqdem convention y = dphi/(2 pi kd)."""
+    n = len(left)
+    t = np.arange(n)
+    f_p = 19000.0 / iq_rate
+    pilot = 0.1 * np.cos(2 * np.pi * f_p * t)
+    sub = ((left - right) / 2) * np.cos(2 * np.pi * 2 * f_p * t)
+    comp = ((left + right) / 2 + pilot + sub) * 0.04
+    phase = 2 * np.pi * kd * np.cumsum(comp)
+    return np.exp(1j * phase).astype(np.complex64)
+
+
+def test_fmstereo_mono_path():
+    """L == R: output pairs must carry the (de-emphasized, resampled)
+    mono audio in both channels."""
+    iq_rate, pcm_rate = 600000.0, 48000.0
+    n = 120000
+    la = np.sin(2 * np.pi * 1000.0 / iq_rate * np.arange(n))
+    x = _fm_stereo_iq(la, la, iq_rate)
+    st = tpudsp.FMStereo(iq_rate=iq_rate, pcm_rate=pcm_rate)
+    y = st(x)
+    assert y.dtype == np.float32
+    L, R = y[0::2], y[1::2]
+    assert abs(len(L) - n * pcm_rate / iq_rate) <= 1
+    # mono: channels nearly identical once the pilot loop settles. The
+    # broadband L-R residual is pilot-harmonic intermod junk above 8 kHz
+    # at ~1/20 the audio amplitude (measured ~19 dB down); the audio band
+    # itself is clean, which the tone check below verifies.
+    settle = len(L) // 2
+    num = np.mean((L[settle:] - R[settle:]) ** 2)
+    den = np.mean(L[settle:] ** 2)
+    assert 10 * np.log10(den / (num + 1e-30)) > 15.0
+    # and the audio is the 1 kHz tone (after de-emphasis gain at 1 kHz)
+    fs_out = pcm_rate
+    spec = np.abs(np.fft.rfft(L[settle:] * np.hanning(len(L) - settle)))
+    peak = np.argmax(spec)
+    f_peak = peak * fs_out / (len(L) - settle)
+    assert abs(f_peak - 1000.0) < 30.0
+
+
+def test_fmstereo_separation():
+    """Distinct L and R tones must separate after pilot lock."""
+    iq_rate, pcm_rate = 600000.0, 48000.0
+    n = 600000
+    t = np.arange(n)
+    la = np.sin(2 * np.pi * 800.0 / iq_rate * t)
+    ra = np.sin(2 * np.pi * 2300.0 / iq_rate * t)
+    x = _fm_stereo_iq(la, ra, iq_rate)
+    st = tpudsp.FMStereo(iq_rate=iq_rate, pcm_rate=pcm_rate)
+    y = st(x)
+    L, R = y[0::2], y[1::2]
+    settle = 3 * len(L) // 4
+    Lw, Rw = L[settle:], R[settle:]
+    w = np.hanning(len(Lw))
+    fl = np.fft.rfftfreq(len(Lw), 1 / pcm_rate)
+    specL = np.abs(np.fft.rfft(Lw * w))
+    specR = np.abs(np.fft.rfft(Rw * w))
+    i800 = np.argmin(np.abs(fl - 800.0))
+    i2300 = np.argmin(np.abs(fl - 2300.0))
+    b = 3  # bins around each tone
+
+    def pk(s, i):
+        return np.max(s[i - b:i + b + 1])
+
+    # each channel's own tone dominates the other channel's tone by >= 12 dB
+    assert 20 * np.log10(pk(specL, i800) / pk(specL, i2300)) > 12.0
+    assert 20 * np.log10(pk(specR, i2300) / pk(specR, i800)) > 12.0

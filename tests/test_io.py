@@ -1,0 +1,70 @@
+"""IO layer tests: native byte conversion + SPSC stream framing."""
+
+import threading
+
+import numpy as np
+
+from tpudsp.io import IQStream, bytes_to_iq, u8_to_iq
+
+
+def test_bytes_to_iq_matches_reference_semantics():
+    raw = np.array([32767, 0, 0, -32767, 16384, -16384, 123, 456],
+                   dtype=np.int16).tobytes()
+    iq = bytes_to_iq(raw)
+    assert iq.dtype == np.complex64
+    ref = np.array([1.0, -1.0j, 0.5 - 0.5j, (123 + 456j) / 32767.0],
+                   dtype=np.complex64)
+    np.testing.assert_allclose(iq, ref, atol=1e-4)
+    assert len(bytes_to_iq(raw + b"\x00")) == 4  # partial pair dropped
+
+
+def test_u8_to_iq():
+    raw = bytes([255, 0, 127, 128])
+    iq = u8_to_iq(raw)
+    np.testing.assert_allclose(iq.real, [1.0, -0.0039216], atol=1e-3)
+    np.testing.assert_allclose(iq.imag, [-1.0, 0.0039216], atol=1e-3)
+
+
+def test_iqstream_block_framing():
+    s = IQStream(block_len=100, capacity_blocks=4)
+    assert s.pop_block() is None
+    data = np.arange(250 * 2, dtype=np.int16).tobytes()  # 250 IQ pairs
+    s.push(data)
+    b1 = s.pop_block()
+    b2 = s.pop_block()
+    assert b1 is not None and b2 is not None and s.pop_block() is None
+    full = bytes_to_iq(data)
+    np.testing.assert_array_equal(b1, full[:100])
+    np.testing.assert_array_equal(b2, full[100:200])
+    assert s.pending_bytes == 50 * 4
+
+
+def test_iqstream_overflow_drops_whole_writes():
+    s = IQStream(block_len=10, capacity_blocks=2)
+    blk = b"\x00" * (10 * 4)
+    wrote = sum(s.push(blk) for _ in range(5))
+    assert wrote <= 2 * 10 * 4 + 10 * 4  # capacity rounded up to pow2
+    assert s.dropped > 0
+
+
+def test_iqstream_threaded_producer():
+    s = IQStream(block_len=256, capacity_blocks=32)
+    n_blocks = 64
+    payload = np.random.default_rng(0).integers(
+        -1000, 1000, size=n_blocks * 256 * 2, dtype=np.int16).tobytes()
+
+    def producer():
+        step = 256 * 4
+        for i in range(0, len(payload), step):
+            while s.push(payload[i:i + step]) == 0:
+                pass
+
+    th = threading.Thread(target=producer)
+    th.start()
+    got = []
+    while len(got) < n_blocks:
+        b = s.pop_block()
+        if b is not None:
+            got.append(b)
+    th.join()
+    np.testing.assert_array_equal(np.concatenate(got), bytes_to_iq(payload))

@@ -1,0 +1,248 @@
+"""AM receiver chain (BASELINE.json config 1; reference README.md:41-58).
+
+Reference chain (per-op, 5 Python->C++ crossings per block, SURVEY.md 3.3):
+
+    pcm = deemph( am( agc( resample( bandpass(iq) ))))
+
+Here the whole chain is ONE jitted function over a fixed-size IQ block with
+an explicit state pytree (SURVEY.md section 7 core decision 1). Two
+execution plans:
+
+- ``composed``: each stage runs as its kernel, in reference order.
+- ``fused`` (default): everything upstream of the decimating resampler is
+  LTI, so the bandpass IIR (as its truncated impulse response) is folded
+  into the resampler's polyphase prototype, and the combined filter is
+  evaluated *only at the 48 kHz output points* as a strided convolution --
+  for the 2 Msps -> 48 kHz chain this removes ~98% of the filtering work.
+  Requires a rational rate (output positions repeat with period P); the
+  class falls back to ``composed`` otherwise. LTI commutation keeps the
+  result equal to the composed plan within float tolerance (tested).
+
+The sequential parts (AGC loop, carrier PLL) run at the *output* rate
+(48 kHz), as in the reference chain, and use the chunk-parallel scan
+kernels, so the per-sample dependence never touches the 2 Msps rate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from fractions import Fraction
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..design import firdes, iirdes
+from ..kernels import agc as kagc
+from ..kernels import ampmodem as kam
+from ..kernels import fir as kfir
+from ..kernels import iir as kiir
+from ..kernels import pll as kpll
+from ..kernels import resamp as krs
+
+
+@dataclass(frozen=True)
+class AMConfig:
+    bandwidth: float = 15000.0      # bandpass cutoff in Hz (README.md:48)
+    iq_rate: float = 2_000_000.0
+    pcm_rate: float = 48_000.0
+    order: int = 8                  # cheby2 order (README.md:48)
+    modulation: float = 0.5
+    carrier: bool = True
+    agc_bandwidth: float = 0.01
+    agc_scale: float = 0.01
+    resamp_m: int = 13
+    resamp_npfb: int = 64
+
+    @property
+    def rate(self) -> float:
+        return self.pcm_rate / self.iq_rate
+
+
+class AMState(NamedTuple):
+    fir_tail: jnp.ndarray       # bandpass TIR tail (composed) / zeros (fused)
+    rs_tail: jnp.ndarray        # resampler input tail
+    agc: kagc.AgcState
+    am: kam.AmpDemodState
+    deemph: jnp.ndarray
+
+
+class AMParams(NamedTuple):
+    h_bp: jnp.ndarray           # bandpass truncated impulse response
+    H_rs: jnp.ndarray           # polyphase bank (npfb+1, 2m) [composed]
+    taps_fused: jnp.ndarray     # (P, Kf) per-phase fused taps [fused]
+    q: jnp.ndarray              # (n_out,) window starts for this block size
+    frac: jnp.ndarray           # (n_out,) fractional phases
+    h_hilb: jnp.ndarray
+    agc: kagc.AgcParams
+    deemph_b0: jnp.ndarray
+    deemph_a: jnp.ndarray
+    mod: jnp.ndarray
+
+
+def _rational(rate: float, max_den: int = 10000):
+    f = Fraction(rate).limit_denominator(max_den)
+    if abs(float(f) - rate) < 1e-12:
+        return f.numerator, f.denominator  # P outputs per Q inputs
+    return None
+
+
+def build(cfg: AMConfig, block_len: int):
+    """Design-time: build (params, init_state, n_out). block_len must make
+    the output count integral (block_len * rate integer) so the jitted step
+    has static shapes; the class wrapper enforces this."""
+    rate = cfg.rate
+    n_out_f = block_len * rate
+    n_out = int(round(n_out_f))
+    if abs(n_out_f - n_out) > 1e-9:
+        raise ValueError(
+            f"block_len {block_len} * rate {rate} must be integral, got {n_out_f}"
+        )
+    # bandpass (reference README uses cheby2 lowpass of the +/- bandwidth)
+    sos = iirdes.iirdes_sos("cheby2", "lowpass", cfg.order,
+                            cfg.bandwidth / cfg.iq_rate, As=60.0, Ap=0.5)
+    h_bp = iirdes.sos_impulse_response(sos, tol=1e-11)
+    if h_bp is None:
+        raise ValueError("bandpass impulse response does not truncate")
+    # resampler bank
+    fc = 0.45 * rate
+    H = firdes.resamp_bank(cfg.resamp_m, fc, 60.0, cfg.resamp_npfb)
+    # block output plan (tau = 0 cycles exactly when n_out integral)
+    _, q, frac, _ = krs.plan(0.0, block_len, rate)
+    assert len(q) == n_out
+
+    # fused taps: bandpass TIR convolved into each needed polyphase row.
+    # With rational rate P/Q there are exactly P distinct fractional phases.
+    taps_fused = np.zeros((1, 1), np.float32)
+    pq = _rational(rate)
+    if pq is not None:
+        P, Q = pq
+        npfb = cfg.resamp_npfb
+        rows = []
+        for r in range(P):
+            f_r = (r * Q / P) % 1.0
+            fb = f_r * npfb
+            b = int(np.floor(fb))
+            w = fb - b
+            bank = (1 - w) * H[b] + w * H[b + 1]
+            rows.append(np.convolve(h_bp, bank))
+        taps_fused = np.stack(rows).astype(np.float32)  # (P, Kf)
+
+    params = AMParams(
+        h_bp=jnp.asarray(h_bp, jnp.float32),
+        H_rs=jnp.asarray(H, jnp.float32),
+        taps_fused=jnp.asarray(taps_fused),
+        q=jnp.asarray(q),
+        frac=jnp.asarray(frac),
+        h_hilb=jnp.asarray(firdes.hilbert_fir(kam.HILB_M, 60.0), jnp.float32),
+        agc=kagc.make_params(alpha=cfg.agc_bandwidth, scale=cfg.agc_scale),
+        deemph_b0=jnp.float32(iirdes.deemphasis_coeffs(cfg.pcm_rate)[0]),
+        deemph_a=jnp.float32(iirdes.deemphasis_coeffs(cfg.pcm_rate)[1]),
+        mod=jnp.float32(cfg.modulation),
+    )
+    ntaps_rs = 2 * cfg.resamp_m
+    kf = taps_fused.shape[1]
+    state = AMState(
+        fir_tail=kfir.fir_init(len(h_bp), jnp.complex64),
+        rs_tail=jnp.zeros((max(ntaps_rs, kf),), jnp.complex64),
+        agc=kagc.agc_init(),
+        am=kam.ampdemod_init(),
+        deemph=jnp.float32(0.0),
+    )
+    return params, state, n_out
+
+
+def _back_end(params: AMParams, state: AMState, baseband, cfg: AMConfig, exact: bool):
+    """AGC -> AmpModem -> de-emphasis at the pcm rate."""
+    agc_fn = kagc.agc_apply if exact else partial(
+        kagc.agc_apply_chunked, chunk=1024, warmup=2048)
+    agc_state, (z, modes) = agc_fn(params.agc, state.agc, baseband)
+    am_state, audio = kam.ampdemod_apply(
+        state.am, z, params.h_hilb, params.mod, "dsb", cfg.carrier,
+        exact_pll=exact)
+    d_state, pcm = kiir.first_order_apply(
+        params.deemph_b0, params.deemph_a, state.deemph, audio)
+    return agc_state, am_state, d_state, pcm, modes
+
+
+def am_step_composed(params: AMParams, state: AMState, iq, *, cfg: AMConfig,
+                     exact: bool = False):
+    """Reference-ordered chain: bandpass -> resample -> agc -> am -> deemph."""
+    fir_tail, bb = kfir.fir_apply(params.h_bp, state.fir_tail, iq)
+    ntaps = params.H_rs.shape[1]
+    rs_tail, y48 = krs.resamp_apply(
+        params.H_rs, state.rs_tail[-ntaps:], bb, params.q, params.frac)
+    rs_tail_full = jnp.concatenate([state.rs_tail, bb])[-state.rs_tail.shape[0]:]
+    agc_state, am_state, d_state, pcm, modes = _back_end(
+        params, state, y48, cfg, exact)
+    new_state = AMState(fir_tail, rs_tail_full, agc_state, am_state, d_state)
+    return new_state, (pcm, modes)
+
+
+def am_step_fused(params: AMParams, state: AMState, iq, *, cfg: AMConfig,
+                  exact: bool = False):
+    """Fused front end: bandpass+anti-alias+decimate evaluated only at
+    output points via P strided convolutions (P = numerator of the rational
+    rate). Output y48[k], k = j*P + r, is produced by phase r's taps at
+    input offset j*Q."""
+    P, Q = _rational(cfg.rate)
+    kf = params.taps_fused.shape[1]
+    X = jnp.concatenate([state.rs_tail[-kf:], iq])
+    n_out = params.q.shape[0]
+    nj = n_out // P
+    outs = []
+    for r in range(P):
+        # output k=j*P+r sits at input position (j*P+r)*Q/P = j*Q + floor(r*Q/P) + frac
+        off = (r * Q) // P
+        taps = params.taps_fused[r][::-1]  # convolution -> correlation order
+        # windows start at X index off + j*Q, length kf
+        xw = jax.lax.dynamic_slice(X, (off,), (kf - 1 + (nj - 1) * Q + 1,))
+        seg = jax.lax.conv_general_dilated(
+            xw[None, None, :].real.astype(jnp.float32),
+            taps[None, None, :],
+            window_strides=(Q,), padding="VALID",
+        )[0, 0]
+        seg_i = jax.lax.conv_general_dilated(
+            xw[None, None, :].imag.astype(jnp.float32),
+            taps[None, None, :],
+            window_strides=(Q,), padding="VALID",
+        )[0, 0]
+        outs.append(seg + 1j * seg_i)
+    y48 = jnp.stack(outs, axis=1).reshape(-1).astype(jnp.complex64)  # (nj*P,)
+    rs_tail_full = jnp.concatenate([state.rs_tail, iq])[-state.rs_tail.shape[0]:]
+    agc_state, am_state, d_state, pcm, modes = _back_end(
+        params, state, y48, cfg, exact)
+    new_state = AMState(state.fir_tail, rs_tail_full, agc_state, am_state, d_state)
+    return new_state, (pcm, modes)
+
+
+class AMReceiver:
+    """Stateful AM receiver over fixed-size IQ blocks: one jitted step.
+
+    plan='fused' | 'composed'; exact=True uses the exact sequential
+    AGC/PLL scans (for verification), exact=False the chunk-parallel ones
+    (throughput; default)."""
+
+    def __init__(self, cfg: AMConfig = AMConfig(), block_len: int = 1 << 20,
+                 plan: str = "fused", exact: bool = False):
+        if plan == "fused" and _rational(cfg.rate) is None:
+            plan = "composed"
+        self.cfg = cfg
+        self.block_len = int(block_len)
+        self.plan = plan
+        self.params, self.state, self.n_out = build(cfg, self.block_len)
+        step = am_step_fused if plan == "fused" else am_step_composed
+        self._step = jax.jit(partial(step, cfg=cfg, exact=exact))
+
+    def __call__(self, iq):
+        iq = jnp.asarray(iq, jnp.complex64)
+        if iq.shape[0] != self.block_len:
+            raise ValueError(f"expected block of {self.block_len} samples")
+        self.state, (pcm, modes) = self._step(self.params, self.state, iq)
+        return pcm
+
+    def step_fn(self):
+        """(params, state, iq) -> (state, (pcm, modes)), jit-ready."""
+        return self._step

@@ -1,0 +1,203 @@
+"""Multi-channel receiver bank (BASELINE.json configs 3-5).
+
+A shared wideband IQ stream feeds C independent receiver chains
+(per-channel NCO mix -> decimating channel filter -> demod -> audio).
+This is the DSP analog of data parallelism (SURVEY.md section 2.3): zero
+inter-channel communication, so channels batch on one chip and shard over
+the ``channel`` mesh axis.
+
+TPU-first structure -- the whole front end is TWO batched strided
+convolutions on the MXU:
+
+  - The per-channel mix-down folds into the channel filter:
+      conv(x * e^{-j w_c n}, h)[m] = e^{-j w_c m D} * conv(x, h * e^{+j w_c k})[m]
+    so one conv with per-channel *modulated taps* (C output features)
+    replaces C separate mix+filter chains; a closed-form phasor applies the
+    output rotation. No per-channel data blowup at the input rate.
+  - Complex-input/complex-taps convolution decomposes into 2 real convs
+    with stacked (re, im) input features.
+
+The back end (freqdem -> audio decimation -> de-emphasis, or AGC+envelope
+for AM channels) runs at the decimated rate, vmapped over channels;
+recurrences are associative scans (first-order) -- nothing sequential
+remains at the input rate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..design import firdes, iirdes
+from ..kernels import freqdem as kfd
+from ..kernels import iir as kiir
+
+TWO_PI = 2.0 * np.pi
+
+
+@dataclass(frozen=True)
+class BankConfig:
+    freqs: tuple          # per-channel center freqs in Hz
+    iq_rate: float = 2_400_000.0
+    demod: str = "fm"     # 'fm' (freqdem+deemph) or 'am' (envelope+deemph)
+    decim1: int = 10      # input rate -> channel rate
+    decim2: int = 5       # channel rate -> audio rate
+    # FM demod factor normalized at the CHANNEL (decimated) rate: for a
+    # peak deviation of `dev` Hz, kd = dev/chan_rate recovers the message
+    # at unit gain; the discriminator needs chan_rate > 2*(dev + f_audio)
+    # so per-sample phase steps stay below pi (no wrapping).
+    kd: float = 0.3125
+    taps1: int = 128      # channel filter length (multiple of 8 for MXU)
+    taps2: int = 64       # audio filter length
+
+    @property
+    def nchan(self):
+        return len(self.freqs)
+
+    @property
+    def chan_rate(self):
+        return self.iq_rate / self.decim1
+
+    @property
+    def audio_rate(self):
+        return self.chan_rate / self.decim2
+
+
+class BankParams(NamedTuple):
+    taps_re: jnp.ndarray     # (C, 2, K1): modulated channel taps as real conv kernels
+    taps_im: jnp.ndarray     # (C, 2, K1)
+    dtheta: jnp.ndarray      # (C,) uint32 per-sample phase increments
+    h2: jnp.ndarray          # (C, 1, K2) audio decimation taps (shared, grouped)
+    deemph_b0: jnp.ndarray
+    deemph_a: jnp.ndarray
+
+
+class BankState(NamedTuple):
+    in_tail: jnp.ndarray     # (K1-1,) complex64 shared input tail
+    phase: jnp.ndarray       # (C,) uint32 NCO phases at block start (output rate ref)
+    n0: jnp.ndarray          # uint32 global sample index of block start
+    fd_prev: jnp.ndarray     # (C,) complex64 freqdem carry
+    a_tail: jnp.ndarray      # (C, K2-1) float32 audio filter tails
+    deemph: jnp.ndarray      # (C,) float32 de-emphasis carry
+
+
+def build(cfg: BankConfig):
+    C = cfg.nchan
+    # channel filter: lowpass at input rate covering the channel bandwidth
+    h1 = firdes.kaiser_lowpass(cfg.taps1, 0.45 / cfg.decim1, 60.0)
+    k = np.arange(cfg.taps1)
+    w = np.array([TWO_PI * f / cfg.iq_rate for f in cfg.freqs])  # rad/sample
+    # modulated taps: h1[k] * e^{+j w_c k}; conv kernels flipped for correlation
+    hm = h1[None, :] * np.exp(1j * w[:, None] * k[None, :])
+    hm = hm[:, ::-1]  # (C, K1) convolution order
+    # real-conv decomposition: Re(y) = xr (*) Re(h) - xi (*) Im(h)
+    #                          Im(y) = xr (*) Im(h) + xi (*) Re(h)
+    taps_re = np.stack([hm.real, -hm.imag], axis=1).astype(np.float32)  # (C,2,K1)
+    taps_im = np.stack([hm.imag, hm.real], axis=1).astype(np.float32)
+    h2 = firdes.kaiser_lowpass(cfg.taps2, 0.45 / cfg.decim2, 60.0)
+    h2 = np.broadcast_to(h2[::-1].astype(np.float32), (C, cfg.taps2)).reshape(
+        C, 1, cfg.taps2).copy()
+    b0, a = iirdes.deemphasis_coeffs(cfg.audio_rate)
+    dtheta = np.array(
+        [np.uint32(int(round((wc % TWO_PI) / TWO_PI * 2**32)) & 0xFFFFFFFF) for wc in w],
+        dtype=np.uint32)
+    params = BankParams(
+        taps_re=jnp.asarray(taps_re), taps_im=jnp.asarray(taps_im),
+        dtheta=jnp.asarray(dtheta), h2=jnp.asarray(h2),
+        deemph_b0=jnp.float32(b0), deemph_a=jnp.float32(a),
+    )
+    state = BankState(
+        in_tail=jnp.zeros((cfg.taps1 - 1,), jnp.complex64),
+        phase=jnp.zeros((C,), jnp.uint32),
+        n0=jnp.uint32(0),
+        fd_prev=jnp.full((C,), 1.0 + 0.0j, jnp.complex64),
+        a_tail=jnp.zeros((C, cfg.taps2 - 1), jnp.float32),
+        deemph=jnp.zeros((C,), jnp.float32),
+    )
+    return params, state
+
+
+def _strided_conv(feats, kernels, stride, groups=1):
+    """feats: (F, N) -> (Cout, (N-K)//stride+1) via conv_general_dilated."""
+    out = lax.conv_general_dilated(
+        feats[None], kernels, window_strides=(stride,), padding="VALID",
+        feature_group_count=groups,
+    )
+    return out[0]
+
+
+def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig):
+    """iq: (N,) complex64 shared stream, N multiple of decim1*decim2.
+    Returns (state, audio (C, N/(decim1*decim2)) float32)."""
+    C = cfg.nchan
+    D1, D2 = cfg.decim1, cfg.decim2
+    K1, K2 = cfg.taps1, cfg.taps2
+    n = iq.shape[0]
+    X = jnp.concatenate([state.in_tail, iq])  # (K1-1+N,)
+    feats = jnp.stack([X.real, X.imag]).astype(jnp.float32)  # (2, K1-1+N)
+
+    # batched mix+channelize: two real strided convs -> (C, N/D1) complex
+    yr = _strided_conv(feats, params.taps_re, D1)
+    yi = _strided_conv(feats, params.taps_im, D1)
+    # output rotation: e^{-j w_c (n0 + m D1)} via uint32 phase lattice
+    m = jnp.arange(yr.shape[-1], dtype=jnp.uint32)
+    th_u = (state.phase[:, None]
+            + (state.n0 * params.dtheta)[:, None]
+            + m[None, :] * (params.dtheta * jnp.uint32(D1))[:, None])
+    theta = th_u.astype(jnp.float32) * jnp.float32(TWO_PI / 4294967296.0)
+    rot = jnp.exp(-1j * theta)
+    y1 = (yr + 1j * yi) * rot  # (C, N/D1) complex64 baseband per channel
+
+    if cfg.demod == "fm":
+        prev = state.fd_prev
+        xprev = jnp.concatenate([prev[:, None], y1[:, :-1]], axis=1)
+        d = y1 * jnp.conj(xprev)
+        base = jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
+            TWO_PI * cfg.kd)
+        fd_prev = y1[:, -1]
+    else:  # 'am' envelope
+        base = jnp.abs(y1).astype(jnp.float32)
+        fd_prev = y1[:, -1]
+
+    # audio decimation: grouped strided conv (C groups, shared taps)
+    A = jnp.concatenate([state.a_tail, base], axis=1)  # (C, K2-1+N/D1)
+    audio = _strided_conv(A, params.h2, D2, groups=C)  # (C, N/(D1 D2))
+
+    # de-emphasis: first-order assoc scan vmapped over channels
+    deemph, audio = jax.vmap(
+        lambda y0, xs: kiir.first_order_apply(params.deemph_b0, params.deemph_a, y0, xs)
+    )(state.deemph, audio)
+
+    new_state = BankState(
+        in_tail=X[-(K1 - 1):],
+        phase=state.phase,
+        n0=state.n0 + jnp.uint32(n),
+        fd_prev=fd_prev,
+        a_tail=A[:, -(K2 - 1):],
+        deemph=deemph,
+    )
+    return new_state, audio
+
+
+class ReceiverBank:
+    """Stateful multi-channel bank over fixed-size shared-IQ blocks."""
+
+    def __init__(self, cfg: BankConfig, block_len: int = 1 << 20):
+        D = cfg.decim1 * cfg.decim2
+        if block_len % D:
+            raise ValueError(f"block_len must be a multiple of {D}")
+        self.cfg = cfg
+        self.block_len = block_len
+        self.params, self.state = build(cfg)
+        self._step = jax.jit(partial(bank_step, cfg=cfg))
+
+    def __call__(self, iq):
+        iq = jnp.asarray(iq, jnp.complex64)
+        self.state, audio = self._step(self.params, self.state, iq)
+        return audio

@@ -1,0 +1,169 @@
+"""IQ ingest: byte conversion + streaming block framing.
+
+Native-backed (ctypes over tpudsp/io/native/ingest.cpp, compiled on first
+use with the local toolchain and cached) with a pure-NumPy fallback. The
+ring-buffer path is the streaming runtime the reference's README pattern
+implies but leaves to user code (README.md:53-58): a radio driver thread
+pushes raw bytes; the consumer pops fixed-size IQ blocks whose static
+shapes feed the jitted chains.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "native", "ingest.cpp")
+_SO = os.path.join(_HERE, "native", "_ingest.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     _SRC, "-o", _SO],
+                    check=True, capture_output=True)
+            lib = ctypes.CDLL(_SO)
+            lib.tpudsp_ring_create.restype = ctypes.c_void_p
+            lib.tpudsp_ring_create.argtypes = [ctypes.c_uint64]
+            lib.tpudsp_ring_destroy.argtypes = [ctypes.c_void_p]
+            for f in ("tpudsp_ring_size", "tpudsp_ring_capacity",
+                      "tpudsp_ring_dropped"):
+                getattr(lib, f).restype = ctypes.c_uint64
+                getattr(lib, f).argtypes = [ctypes.c_void_p]
+            lib.tpudsp_ring_write.restype = ctypes.c_uint64
+            lib.tpudsp_ring_write.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64]
+            lib.tpudsp_ring_read.restype = ctypes.c_uint64
+            lib.tpudsp_ring_read.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64]
+            lib.tpudsp_bytes_to_iq_f32.argtypes = [
+                ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p]
+            lib.tpudsp_u8_to_iq_f32.argtypes = [
+                ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p]
+            _lib = lib
+        except Exception:
+            _lib = False  # toolchain unavailable: NumPy fallback
+    return _lib
+
+
+def bytes_to_iq(byts: bytes) -> np.ndarray:
+    """int16 interleaved IQ bytes -> complex64 / 32767 (reference
+    utility.hpp:61-69 semantics; native fast path when available)."""
+    n = len(byts) // 4
+    lib = _load()
+    out = np.empty(n, np.complex64)
+    if lib:
+        buf = np.frombuffer(byts, np.uint8, count=4 * n)
+        lib.tpudsp_bytes_to_iq_f32(
+            buf.ctypes.data_as(ctypes.c_void_p), n,
+            out.ctypes.data_as(ctypes.c_void_p))
+        return out
+    x = np.frombuffer(byts, np.int16, count=2 * n).astype(np.float32) / 32767.0
+    return (x[0::2] + 1j * x[1::2]).astype(np.complex64)
+
+
+def u8_to_iq(byts: bytes) -> np.ndarray:
+    """RTL-SDR-style uint8 interleaved IQ -> complex64 ((b-127.5)/127.5)."""
+    n = len(byts) // 2
+    lib = _load()
+    out = np.empty(n, np.complex64)
+    if lib:
+        buf = np.frombuffer(byts, np.uint8, count=2 * n)
+        lib.tpudsp_u8_to_iq_f32(
+            buf.ctypes.data_as(ctypes.c_void_p), n,
+            out.ctypes.data_as(ctypes.c_void_p))
+        return out
+    x = (np.frombuffer(byts, np.uint8, count=2 * n).astype(np.float32)
+         - 127.5) / 127.5
+    return (x[0::2] + 1j * x[1::2]).astype(np.complex64)
+
+
+class IQStream:
+    """Lock-free SPSC stream of IQ blocks.
+
+    push(bytes) from the radio-driver thread; pop_block() from the compute
+    thread returns a (block_len,) complex64 array or None when not enough
+    data has arrived. Overflow drops whole writes (counted in .dropped).
+    """
+
+    def __init__(self, block_len: int, capacity_blocks: int = 64,
+                 sample_format: str = "int16"):
+        self.block_len = int(block_len)
+        self.sample_format = sample_format
+        self._bps = 4 if sample_format == "int16" else 2  # bytes/IQ pair
+        lib = _load()
+        self._native = bool(lib)
+        if self._native:
+            self._lib = lib
+            self._ring = lib.tpudsp_ring_create(
+                self.block_len * self._bps * capacity_blocks)
+        else:
+            self._buf = bytearray()
+            self._lock = threading.Lock()
+            self._dropped = 0
+            self._cap = self.block_len * self._bps * capacity_blocks
+
+    def push(self, byts: bytes) -> int:
+        if self._native:
+            return self._lib.tpudsp_ring_write(self._ring, byts, len(byts))
+        with self._lock:
+            if len(self._buf) + len(byts) > self._cap:
+                self._dropped += len(byts)
+                return 0
+            self._buf.extend(byts)
+            return len(byts)
+
+    def pop_block(self):
+        nbytes = self.block_len * self._bps
+        if self._native:
+            raw = np.empty(nbytes, np.uint8)
+            got = self._lib.tpudsp_ring_read(
+                self._ring, raw.ctypes.data_as(ctypes.c_void_p), nbytes)
+            if not got:
+                return None
+            data = raw.tobytes()
+        else:
+            with self._lock:
+                if len(self._buf) < nbytes:
+                    return None
+                data = bytes(self._buf[:nbytes])
+                del self._buf[:nbytes]
+        conv = bytes_to_iq if self.sample_format == "int16" else u8_to_iq
+        return conv(data)
+
+    @property
+    def pending_bytes(self) -> int:
+        if self._native:
+            return self._lib.tpudsp_ring_size(self._ring)
+        with self._lock:
+            return len(self._buf)
+
+    @property
+    def dropped(self) -> int:
+        if self._native:
+            return self._lib.tpudsp_ring_dropped(self._ring)
+        return self._dropped
+
+    def __del__(self):
+        if getattr(self, "_native", False):
+            try:
+                self._lib.tpudsp_ring_destroy(self._ring)
+            except Exception:
+                pass

@@ -63,39 +63,65 @@ def pll_carrier_scan(state: PllState, x, bw: float):
 
 
 class StereoPilotState(NamedTuple):
-    theta: jnp.ndarray        # f32 pilot NCO phase
-    freq: jnp.ndarray         # f32 pilot NCO freq (rad/sample)
-    phase_error: jnp.ndarray  # f32 one-pole filtered error (init 0: Q3 fix)
+    p: jnp.ndarray        # c64: one-pole-smoothed pilot phasor at DC
+    phase_u: jnp.ndarray  # u32: running phase of the nominal 19 kHz mixer
 
 
 def stereo_pilot_init() -> StereoPilotState:
-    return StereoPilotState(jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0))
+    return StereoPilotState(jnp.complex64(0.0), jnp.uint32(0))
 
 
-def stereo_pilot_scan(state: StereoPilotState, s, bw: float = 0.1):
-    """FMStereo pilot loop over the composite baseband s[n] (real float32),
-    reference demod.hpp:54-84 topology: per sample
-        sc1 = s * e^{-j theta}            (down by 19 kHz)
-        pe  = 0.999 pe + 0.001 arg(sc1)   (one-pole error filter)
-        sc  = sc1 * e^{-j theta}          (down by 38 kHz total)
-        pll_step(pe); theta += freq
-    Returns (new_state, lr) where lr[n] = Re(sc) is the L-R subband.
-    The pilot NCO starts at 0 Hz and acquires purely via pll_step, exactly
-    as the reference does (SURVEY.md Q3; phase_error initialized to 0)."""
-    alpha = jnp.float32(bw)
-    beta = jnp.float32(np.sqrt(bw))
+def stereo_pilot_apply(state: StereoPilotState, s, dtheta_u32, rho: float = 0.998):
+    """FMStereo pilot recovery + L-R subband demodulation, fully
+    block-parallel (no sequential PLL).
 
-    def step(st, sn):
-        th, fr, pe = st
-        e1 = jnp.exp(-1j * th)
-        sc1 = sn * e1
-        pe = 0.999 * pe + 0.001 * jnp.arctan2(sc1.imag, sc1.real)
-        sc = sc1 * e1
-        fr = fr + alpha * pe
-        th_next = _wrap(th + beta * pe + fr)
-        return StereoPilotState(th_next, fr, pe), sc.real
+    Re-architecture of the reference's per-sample pilot NCO loop
+    (demod.hpp:54-84). The reference drives an NCO PLL from a one-pole-
+    filtered arg() of the once-mixed composite; measured from a cold start
+    that loop diverges (its pilot NCO frequency runs far beyond Nyquist on a
+    clean synthetic stereo signal), and even when locked its L-R term
+    Re(s e^{-2j theta}) demodulates the subband at half scale, giving only
+    partial stereo separation. SURVEY.md Q3 directs matching the documented
+    *intent* -- decode the 38 kHz DSB subband coherently with the 19 kHz
+    pilot -- so this framework uses the classic pilot-squaring receiver,
+    which is exact and embarrassingly parallel on TPU:
 
-    new_state, lr = jax.lax.scan(step, state, s.astype(jnp.complex64))
+        z[n] = s[n] * e^{-j w_p n}            (nominal 19 kHz mix, uint32 NCO)
+        p[n] = rho p[n-1] + (1-rho) z[n]      (one-pole: first-order assoc
+                                               scan -- block-parallel)
+        u[n] = p[n]/|p[n]|                    (unit pilot phasor, phase phi)
+        lr[n] = 2 s[n] Re(u[n]^2 e^{2j w_p n})  (coherent 38 kHz demod,
+                                                 full-scale L-R)
+
+    s: (N,) float32 composite baseband; dtheta_u32: uint32 per-sample pilot
+    phase increment (2 pi 19000/iq_rate). Returns (new_state, lr float32).
+    The one-pole bandwidth (1-rho) need only exceed the pilot's frequency
+    tolerance (broadcast pilots are within a few Hz), and its settling sets
+    the stereo acquisition time (~1/(1-rho) samples)."""
+    n = s.shape[0]
+    k = jnp.arange(n, dtype=jnp.uint32)
+    th_u = state.phase_u + k * dtheta_u32
+    theta = th_u.astype(jnp.float32) * jnp.float32(2.0 * np.pi / 4294967296.0)
+    osc = jnp.exp(-1j * theta).astype(jnp.complex64)
+    z = s.astype(jnp.complex64) * osc
+
+    # one-pole smoother as first-order associative scan
+    rho_j = jnp.float32(rho)
+    a_arr = jnp.broadcast_to(rho_j, (n,))
+    u_in = (1.0 - rho_j) * z
+
+    def combine(e1, e2):
+        a1, u1 = e1
+        a2, u2 = e2
+        return a1 * a2, a2 * u1 + u2
+
+    ap, up = jax.lax.associative_scan(combine, (a_arr, u_in))
+    p = ap * state.p + up
+    mag = jnp.abs(p)
+    u = jnp.where(mag > 1e-6, p / (mag + 1e-12), jnp.zeros_like(p))
+    ref38 = u * u * jnp.conj(osc) * jnp.conj(osc)  # e^{+2j w_p n} u^2
+    lr = 2.0 * s * ref38.real
+    new_state = StereoPilotState(p=p[-1], phase_u=state.phase_u + jnp.uint32(n) * dtheta_u32)
     return new_state, lr.astype(jnp.float32)
 
 
@@ -151,12 +177,3 @@ def pll_carrier_scan_chunked(state: PllState, x, bw: float, chunk: int = 2048, w
     bcast = lambda s, n: jax.tree.map(lambda v: jnp.broadcast_to(v, (n,)), s)
     sel = lambda f: jax.tree.map(lambda v: v[-1], f)
     return _chunked_scan(fn, bcast, sel, state, x, chunk, warmup)
-
-
-def stereo_pilot_scan_chunked(
-    state: StereoPilotState, s, bw: float = 0.1, chunk: int = 4096, warmup: int = 8192
-):
-    fn = lambda st, xs: stereo_pilot_scan(st, xs, bw)
-    bcast = lambda st, n: jax.tree.map(lambda v: jnp.broadcast_to(v, (n,)), st)
-    sel = lambda f: jax.tree.map(lambda v: v[-1], f)
-    return _chunked_scan(fn, bcast, sel, state, s, chunk, warmup)

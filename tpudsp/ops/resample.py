@@ -44,6 +44,16 @@ class _ResamplerBase(StatefulOp):
         self._state = krs.resamp_init(2 * self._m, self._dtype)
 
     @property
+    def state(self):
+        """Full checkpointable state: filter tail + fractional phase."""
+        return {"tail": np.asarray(self._state), "tau": self._tau}
+
+    def with_state(self, state):
+        self._state = jnp.asarray(state["tail"])
+        self._tau = float(state["tau"])
+        return self
+
+    @property
     def rate(self):
         return self._rate
 

@@ -1,0 +1,6 @@
+"""Mesh / sharding / halo-exchange runtime (the new L-1 layer with no
+counterpart in the reference; SURVEY.md section 1 TPU mapping)."""
+
+from .mesh import CHANNEL_AXIS, TIME_AXIS, bank_sharding, make_mesh, replicated
+
+__all__ = ["CHANNEL_AXIS", "TIME_AXIS", "bank_sharding", "make_mesh", "replicated"]

@@ -1,0 +1,214 @@
+"""Mesh-sharded receiver bank (BASELINE.json configs 4-5 foundation).
+
+Shards chains/bank.py's step over a (channel, time) mesh with shard_map:
+
+- ``channel`` axis: per-channel taps/phases sharded; zero communication
+  (DP analog).
+- ``time`` axis (SP analog): the shared IQ stream is split in time.
+  Three boundary couplings, three collectives:
+    1. channel-filter conv: (K1-1)-sample input halo from the left
+       neighbor (ppermute over ICI); leftmost shard uses the carried tail.
+    2. FM discriminator: 1-sample baseband halo (same ppermute pattern).
+    3. audio conv: (K2-1)-sample baseband halo.
+  De-emphasis is a first-order linear recurrence across the whole stream:
+  each time shard computes its local associative scan plus its (a^n, u)
+  transition aggregate; an all_gather of the T tiny aggregates gives each
+  shard its exclusive prefix, which it applies as an offset -- the log-depth
+  cross-device scan carry of SURVEY.md section 5 ("prefix-scan state
+  propagation"), with T-element gathers instead of per-sample chains.
+
+The per-shard math is identical to the single-chip bank_step; a mesh of
+(1, 1) reproduces it exactly (tested).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..chains.bank import BankConfig, BankParams, BankState, build  # noqa: F401
+from .mesh import CHANNEL_AXIS, TIME_AXIS
+
+TWO_PI = 2.0 * np.pi
+
+
+def _left_halo_1d(x_local, halo, fill):
+    """Last `halo` elements of the left time-neighbor's x_local (leading
+    time axis is the LAST axis here). fill: values for the leftmost shard."""
+    n_t = lax.axis_size(TIME_AXIS)
+    idx = lax.axis_index(TIME_AXIS)
+    tail = x_local[..., -halo:] if halo > 0 else x_local[..., :0]
+    if n_t == 1:
+        return fill
+    perm = [(i, i + 1) for i in range(n_t - 1)]
+    from_left = lax.ppermute(tail, TIME_AXIS, perm)
+    return jnp.where(idx == 0, fill, from_left)
+
+
+def _deemph_time_sharded(b0, a, y0, x_local):
+    """First-order recurrence y[n] = b0 x[n] + a y[n-1] across time shards.
+    y0 applies before the globally-first sample."""
+    n_loc = x_local.shape[-1]
+    a_arr = jnp.broadcast_to(a, x_local.shape)
+    u = b0 * x_local
+
+    def combine(e1, e2):
+        a1, u1 = e1
+        a2, u2 = e2
+        return a1 * a2, a2 * u1 + u2
+
+    ap, up = lax.associative_scan(combine, (a_arr, u), axis=-1)
+    # local transition aggregate: (a^{n_loc}, u_total)
+    agg = (ap[..., -1], up[..., -1])
+    # gather all shards' aggregates along time axis -> exclusive prefix
+    a_all = lax.all_gather(agg[0], TIME_AXIS)        # (T, C)
+    u_all = lax.all_gather(agg[1], TIME_AXIS)        # (T, C)
+    idx = lax.axis_index(TIME_AXIS)
+    T = lax.axis_size(TIME_AXIS)
+    # exclusive prefix over the tiny T axis (sequential, T elements)
+    def body(carry, t):
+        pa, pu = carry
+        take = t < idx
+        pa2 = jnp.where(take, pa * a_all[t], pa)
+        pu2 = jnp.where(take, pu * a_all[t] + jnp.where(take, u_all[t], 0.0), pu)
+        return (pa2, pu2), None
+
+    (pa, pu), _ = lax.scan(body, (jnp.ones_like(agg[0]), jnp.zeros_like(agg[1])),
+                           jnp.arange(T))
+    # entry value for this shard = pa * y0 + pu
+    y_entry = pa * y0 + pu
+    y_local = ap * y_entry[..., None] + up
+    return y_local[..., -1], y_local
+
+
+def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig):
+    """Per-shard body (call under shard_map). iq: local (N_loc,) slice.
+    params.taps_*/dtheta/h2 carry a local channel shard; state fields are
+    sharded to match. Returns (new_state, audio_local)."""
+    C_loc = params.dtheta.shape[0]
+    D1, D2 = cfg.decim1, cfg.decim2
+    K1, K2 = cfg.taps1, cfg.taps2
+    n_loc = iq.shape[0]
+    t_idx = lax.axis_index(TIME_AXIS)
+
+    halo_in = _left_halo_1d(iq, K1 - 1, state.in_tail)
+    X = jnp.concatenate([halo_in, iq])
+    feats = jnp.stack([X.real, X.imag]).astype(jnp.float32)
+    yr = lax.conv_general_dilated(feats[None], params.taps_re, (D1,), "VALID")[0]
+    yi = lax.conv_general_dilated(feats[None], params.taps_im, (D1,), "VALID")[0]
+
+    # rotation with the GLOBAL output index: m_glob = t_idx*n_loc/D1 + m
+    m0 = (t_idx.astype(jnp.uint32) * jnp.uint32(n_loc // D1))
+    m = m0 + jnp.arange(yr.shape[-1], dtype=jnp.uint32)
+    th_u = (state.phase[:, None]
+            + (state.n0 * params.dtheta)[:, None]
+            + m[None, :] * (params.dtheta * jnp.uint32(D1))[:, None])
+    theta = th_u.astype(jnp.float32) * jnp.float32(TWO_PI / 4294967296.0)
+    y1 = (yr + 1j * yi) * jnp.exp(-1j * theta)
+
+    if cfg.demod == "fm":
+        prev = _left_halo_1d(y1, 1, state.fd_prev[:, None])
+        xprev = jnp.concatenate([prev, y1[:, :-1]], axis=1)
+        d = y1 * jnp.conj(xprev)
+        base = jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
+            TWO_PI * cfg.kd)
+    else:
+        base = jnp.abs(y1).astype(jnp.float32)
+    fd_prev = y1[:, -1]
+
+    halo_a = _left_halo_1d(base, K2 - 1, state.a_tail)
+    A = jnp.concatenate([halo_a, base], axis=1)
+    audio = lax.conv_general_dilated(A[None], params.h2, (D2,), "VALID",
+                                     feature_group_count=C_loc)[0]
+
+    deemph, audio = _deemph_time_sharded(
+        params.deemph_b0, params.deemph_a, state.deemph, audio)
+
+    # per-shard state, with an explicit leading/inner time axis of size 1 so
+    # out_specs can lay shards out along TIME and the caller selects the
+    # last time shard's carry (the stream boundary for the next block)
+    new_state = BankState(
+        in_tail=X[-(K1 - 1):][None, :],             # (1, K1-1)    -> (T, K1-1)
+        phase=state.phase,                          # unchanged, replicated in T
+        n0=state.n0 + jnp.uint32(n_loc * lax.axis_size(TIME_AXIS)),
+        fd_prev=fd_prev[:, None],                   # (C_loc, 1)   -> (C, T)
+        a_tail=A[:, None, -(K2 - 1):],              # (C_loc,1,K2-1)->(C,T,K2-1)
+        deemph=deemph[:, None],                     # (C_loc, 1)   -> (C, T)
+    )
+    return new_state, audio
+
+
+class ShardedBank:
+    """Receiver bank jitted over a (channel, time) mesh.
+
+    Per-channel params/state shard over 'channel'; the IQ stream shards
+    over 'time'. Stream-boundary carries (filter tails, discriminator
+    previous sample, de-emphasis value) are produced per time shard with an
+    explicit time axis; the wrapper keeps the LAST time shard's carry as
+    the next block's left boundary, which shard 0 consumes through the
+    leftmost-fill path of the halo exchange. A (1, 1) mesh reproduces the
+    single-chip chains/bank.py bank_step exactly (tested)."""
+
+    def __init__(self, cfg: BankConfig, mesh: Mesh, block_len: int):
+        D = cfg.decim1 * cfg.decim2
+        n_time = mesh.shape[TIME_AXIS]
+        n_chan = mesh.shape[CHANNEL_AXIS]
+        if cfg.nchan % n_chan:
+            raise ValueError("channel count must divide over the channel axis")
+        if block_len % (D * n_time):
+            raise ValueError(f"block_len must be a multiple of {D * n_time}")
+        self.cfg = cfg
+        self.mesh = mesh
+        self.block_len = block_len
+        self.params, self.state = build(cfg)
+
+        param_specs = BankParams(
+            taps_re=P(CHANNEL_AXIS), taps_im=P(CHANNEL_AXIS),
+            dtheta=P(CHANNEL_AXIS), h2=P(CHANNEL_AXIS),
+            deemph_b0=P(), deemph_a=P(),
+        )
+        state_specs = BankState(
+            in_tail=P(), phase=P(CHANNEL_AXIS), n0=P(),
+            fd_prev=P(CHANNEL_AXIS), a_tail=P(CHANNEL_AXIS), deemph=P(CHANNEL_AXIS),
+        )
+        body = partial(sharded_bank_step, cfg=cfg)
+        mapped = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(param_specs, state_specs, P(TIME_AXIS)),
+            out_specs=(BankState(
+                in_tail=P(TIME_AXIS, None), phase=P(CHANNEL_AXIS), n0=P(),
+                fd_prev=P(CHANNEL_AXIS, TIME_AXIS),
+                a_tail=P(CHANNEL_AXIS, TIME_AXIS, None),
+                deemph=P(CHANNEL_AXIS, TIME_AXIS),
+            ), P(CHANNEL_AXIS, TIME_AXIS)),
+            check_vma=False,
+        )
+
+        def step(params, state, iq):
+            st, audio = mapped(params, state, iq)
+            # collapse per-time-shard copies: the stream-boundary carries for
+            # the next block come from the LAST time shard
+            new_state = BankState(
+                in_tail=st.in_tail[-1],
+                phase=st.phase,
+                n0=st.n0,
+                fd_prev=st.fd_prev[:, -1],
+                a_tail=st.a_tail[:, -1, :],
+                deemph=st.deemph[:, -1],
+            )
+            return new_state, audio
+
+        self._step = jax.jit(step)
+
+    def __call__(self, iq):
+        iq = jax.device_put(
+            jnp.asarray(iq, jnp.complex64),
+            NamedSharding(self.mesh, P(TIME_AXIS)),
+        )
+        self.state, audio = self._step(self.params, self.state, iq)
+        return audio

@@ -1,0 +1,41 @@
+"""Time-axis halo exchange inside shard_map (SURVEY.md section 5,
+"long-context / sequence parallelism" build plan).
+
+Overlap-save FIR filtering of a time-sharded stream: each shard needs the
+last (ntaps-1) samples of its left neighbor -- one ppermute over the
+``time`` mesh axis (ICI). The leftmost shard receives the block-level
+carried tail instead, preserving exact streaming semantics across both
+device boundaries and block boundaries.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def left_halo(x_local, halo: int, axis_name: str, leftmost_fill):
+    """Fetch the last ``halo`` samples of the left neighbor's local block.
+
+    x_local: (..., N_local) this shard's samples; leftmost_fill: (..., halo)
+    values for the leftmost shard (carried tail, or zeros). Returns
+    (..., halo) array. Single collective: ppermute right by one.
+    """
+    idx = lax.axis_index(axis_name)
+    n_shards = lax.axis_size(axis_name)
+    tail = x_local[..., -halo:]
+    perm = [(i, i + 1) for i in range(n_shards - 1)]
+    from_left = lax.ppermute(tail, axis_name, perm)
+    return jnp.where(idx == 0, leftmost_fill, from_left)
+
+
+def fir_sharded_local(h, x_local, halo_left):
+    """Per-shard overlap-save FIR given the exchanged halo: equivalent to
+    valid conv over [halo_left, x_local]."""
+    X = jnp.concatenate([halo_left.astype(x_local.dtype), x_local], axis=-1)
+    K = h.shape[0]
+    acc = jnp.zeros_like(x_local, dtype=jnp.result_type(x_local.dtype, h.dtype))
+    for k in range(K):
+        acc = acc + h[k] * lax.dynamic_slice_in_dim(X, K - 1 - k, x_local.shape[-1], axis=-1)
+    return acc
