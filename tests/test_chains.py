@@ -32,7 +32,7 @@ def test_am_receiver_fused_equals_composed():
     pcm_c = np.asarray(rx_c(iq))
     assert pcm_f.shape == pcm_c.shape == (rx_f.n_out,)
     # identical up to float reordering of the same LTI math
-    assert snr_db(pcm_c[200:], pcm_f[200:]) > 45.0
+    assert snr_db(pcm_c[200:], pcm_f[200:]) > 70.0
 
 
 def test_am_receiver_recovers_audio():

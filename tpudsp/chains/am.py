@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from ..design import firdes, iirdes
 from ..kernels import agc as kagc
 from ..kernels import ampmodem as kam
+from ..kernels import decimate as kdec
 from ..kernels import fir as kfir
 from ..kernels import iir as kiir
 from ..kernels import pll as kpll
@@ -72,7 +73,7 @@ class AMState(NamedTuple):
 class AMParams(NamedTuple):
     h_bp: jnp.ndarray           # bandpass truncated impulse response
     H_rs: jnp.ndarray           # polyphase bank (npfb+1, 2m) [composed]
-    taps_fused: jnp.ndarray     # (P, Kf) per-phase fused taps [fused]
+    taps_fused: jnp.ndarray     # (P, Kc, Q) blocked flipped fused taps [fused]
     q: jnp.ndarray              # (n_out,) window starts for this block size
     frac: jnp.ndarray           # (n_out,) fractional phases
     h_hilb: jnp.ndarray
@@ -113,9 +114,15 @@ def build(cfg: AMConfig, block_len: int):
     _, q, frac, _ = krs.plan(0.0, block_len, rate)
     assert len(q) == n_out
 
-    # fused taps: bandpass TIR convolved into each needed polyphase row.
+    # fused taps: bandpass TIR folded into each needed polyphase row.
     # With rational rate P/Q there are exactly P distinct fractional phases.
-    taps_fused = np.zeros((1, 1), np.float32)
+    # The bank rows apply correlation-style (window dot row, see
+    # kernels/resamp.py), so the combined correlation taps are
+    # d = conv(bank_row, reverse(h_bp)); the window for output k = j*P + r
+    # starts at X index q_k = j*Q + floor(r*Q/P) with a (len(h_bp)+2m-1)-
+    # sample carried tail -- exactly the composed chain's alignment (the
+    # fused==composed equivalence test pins this down).
+    taps_fused = np.zeros((1, 1, 1), np.float32)
     pq = _rational(rate)
     if pq is not None:
         P, Q = pq
@@ -127,8 +134,9 @@ def build(cfg: AMConfig, block_len: int):
             b = int(np.floor(fb))
             w = fb - b
             bank = (1 - w) * H[b] + w * H[b + 1]
-            rows.append(np.convolve(h_bp, bank))
-        taps_fused = np.stack(rows).astype(np.float32)  # (P, Kf)
+            rows.append(np.convolve(bank, h_bp[::-1]))
+        taps_fused = kdec.plan_phase_taps(
+            np.stack(rows).astype(np.float32), Q)  # (P, Kc, Q)
 
     params = AMParams(
         h_bp=jnp.asarray(h_bp, jnp.float32),
@@ -143,7 +151,7 @@ def build(cfg: AMConfig, block_len: int):
         mod=jnp.float32(cfg.modulation),
     )
     ntaps_rs = 2 * cfg.resamp_m
-    kf = taps_fused.shape[1]
+    kf = len(h_bp) + ntaps_rs - 1  # fused filter length
     state = AMState(
         fir_tail=kfir.fir_init(len(h_bp), jnp.complex64),
         rs_tail=jnp.zeros((max(ntaps_rs, kf),), jnp.complex64),
@@ -184,33 +192,22 @@ def am_step_composed(params: AMParams, state: AMState, iq, *, cfg: AMConfig,
 def am_step_fused(params: AMParams, state: AMState, iq, *, cfg: AMConfig,
                   exact: bool = False):
     """Fused front end: bandpass+anti-alias+decimate evaluated only at
-    output points via P strided convolutions (P = numerator of the rational
-    rate). Output y48[k], k = j*P + r, is produced by phase r's taps at
-    input offset j*Q."""
+    output points (output k = j*P + r at input offset j*Q + floor(r*Q/P))
+    as P blocked MXU matmuls (tpudsp/kernels/decimate.py)."""
     P, Q = _rational(cfg.rate)
-    kf = params.taps_fused.shape[1]
-    X = jnp.concatenate([state.rs_tail[-kf:], iq])
+    Kc = params.taps_fused.shape[1]
+    kf = state.rs_tail.shape[0]
     n_out = params.q.shape[0]
     nj = n_out // P
-    outs = []
-    for r in range(P):
-        # output k=j*P+r sits at input position (j*P+r)*Q/P = j*Q + floor(r*Q/P) + frac
-        off = (r * Q) // P
-        taps = params.taps_fused[r][::-1]  # convolution -> correlation order
-        # windows start at X index off + j*Q, length kf
-        xw = jax.lax.dynamic_slice(X, (off,), (kf - 1 + (nj - 1) * Q + 1,))
-        seg = jax.lax.conv_general_dilated(
-            xw[None, None, :].real.astype(jnp.float32),
-            taps[None, None, :],
-            window_strides=(Q,), padding="VALID",
-        )[0, 0]
-        seg_i = jax.lax.conv_general_dilated(
-            xw[None, None, :].imag.astype(jnp.float32),
-            taps[None, None, :],
-            window_strides=(Q,), padding="VALID",
-        )[0, 0]
-        outs.append(seg + 1j * seg_i)
-    y48 = jnp.stack(outs, axis=1).reshape(-1).astype(jnp.complex64)  # (nj*P,)
+    offsets = [(r * Q) // P for r in range(P)]
+    # pad so every phase's (nj+Kc-1)*Q window is in bounds; padded indices
+    # only ever multiply the zero-padding of the blocked taps
+    X = jnp.concatenate([
+        state.rs_tail[-kf:], iq,
+        jnp.zeros(((Kc + 1) * Q,), iq.dtype),
+    ])
+    yp = kdec.strided_fir_matmul(X, params.taps_fused, offsets, Q, nj)
+    y48 = jnp.stack([yp[r] for r in range(P)], axis=1).reshape(-1).astype(jnp.complex64)
     rs_tail_full = jnp.concatenate([state.rs_tail, iq])[-state.rs_tail.shape[0]:]
     agc_state, am_state, d_state, pcm, modes = _back_end(
         params, state, y48, cfg, exact)

@@ -1,0 +1,64 @@
+"""Strided (decimating) FIR as an MXU matmul (TPU-first).
+
+The fused receiver front ends evaluate long FIR filters only at decimated
+output points: y_r[j] = sum_i X[off_r + j*Q + i] * taps_r[i], stride Q,
+P phases. Lowering this as lax.conv with a multi-thousand-tap kernel makes
+XLA's TPU conv path both slow to compile and slow to run; the natural MXU
+formulation is a blocked matmul:
+
+    pad taps to Kc*Q;  T_r[c, q] = taps_r[c*Q + q]            (Kc, Q)
+    Xt_r = X[off_r : off_r + M*Q].reshape(M, Q)               (M, Q)
+    Z_r  = Xt_r @ T_r^T                                       (M, Kc)
+    y_r[j] = sum_c Z_r[j + c, c]        (diagonal sum: Kc shifted slices)
+
+One (M x Q) @ (Q x Kc) matmul per phase feeds the 128x128 systolic array
+(Q = decimation factor ~ 125 rides the contraction dim); the diagonal sum
+is Kc cheap vector adds. Complex input decomposes into re/im real matmuls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def plan_phase_taps(taps_per_phase: np.ndarray, Q: int):
+    """Host-side: (P, Kf) per-phase taps -> (P, Kc, Q) blocked/padded."""
+    P, Kf = taps_per_phase.shape
+    Kc = -(-Kf // Q)
+    T = np.zeros((P, Kc * Q), taps_per_phase.dtype)
+    T[:, :Kf] = taps_per_phase
+    return T.reshape(P, Kc, Q)
+
+
+def strided_fir_matmul(X, T, offsets, Q: int, nj: int):
+    """X: (L,) float32/complex64 padded input (L >= max(off)+ (nj+Kc-1)*Q);
+    T: (P, Kc, Q) float32 blocked taps; offsets: P python ints; nj: outputs
+    per phase. Returns y: (P, nj) with X's dtype."""
+    P, Kc, _ = T.shape
+    M = nj + Kc - 1
+    ys = []
+    for r in range(P):
+        Xr = lax.dynamic_slice(X, (offsets[r],), (M * Q,)).reshape(M, Q)
+        if jnp.iscomplexobj(X):
+            Zr = jnp.einsum("mq,kq->mk", Xr.real, T[r],
+                            preferred_element_type=jnp.float32)
+            Zi = jnp.einsum("mq,kq->mk", Xr.imag, T[r],
+                            preferred_element_type=jnp.float32)
+            Z = Zr + 1j * Zi
+        else:
+            Z = jnp.einsum("mq,kq->mk", Xr, T[r],
+                           preferred_element_type=jnp.float32)
+        acc = Z[0:nj, 0]
+        for c in range(1, Kc):
+            acc = acc + Z[c:c + nj, c]
+        ys.append(acc)
+    return jnp.stack(ys)  # (P, nj)
+
+
+def interleave_phases(y_phases):
+    """(P, nj) per-phase outputs -> (P*nj,) stream in output order
+    (output k = j*P + r)."""
+    return jnp.stack(y_phases, axis=1).reshape(-1) if y_phases.ndim == 2 else y_phases
