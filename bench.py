@@ -7,42 +7,42 @@ Prints exactly ONE JSON line on stdout:
 vs_baseline is against the reference's implied sustained throughput of
 2 Msps complex IQ on the author's desktop CPU (BASELINE.md).
 
-Extra per-stage numbers go to stderr. Runs on the default JAX platform
-(the TPU under axon; falls back transparently if only CPU exists).
+Robustness: the axon TPU tunnel in this environment can wedge (a client
+killed mid-claim blocks the next claim for its grant timeout), which
+stalls the very first device transfer indefinitely. The measurement
+therefore runs in a subprocess with a deadline; on stall/failure it
+retries once, then falls back to the CPU backend so a result line is
+always produced (the platform used is reported in the JSON).
+
+Extra per-stage numbers go to stderr.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
-import time
-
-import numpy as np
 
 REFERENCE_BASELINE_SPS = 2_000_000.0  # BASELINE.md reference-implied
+_IMPL_FLAG = "--impl"
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_fn(fn, args, n_warmup=2, n_iter=5):
-    import jax
-    for _ in range(n_warmup):
-        out = fn(*args)
-        jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fn(*args)
-        jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n_iter
-
-
-def main():
+def _impl(platform: str):
+    """Runs in the subprocess: measure and print one JSON line."""
+    import time
+    import numpy as np
+    if platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
-    from tpudsp.chains.am import AMConfig, build, am_step_fused
     from functools import partial
+    from tpudsp.chains.am import AMConfig, build, am_step_fused
 
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind} ({dev.platform})")
@@ -50,10 +50,7 @@ def main():
     cfg = AMConfig()
     block = 4_000_000  # 2 s of IQ at 2 Msps; block*rate = 96000 outputs
     params, state, n_out = build(cfg, block)
-    log(f"AM chain: block={block}, n_out={n_out}, "
-        f"fused taps {np.asarray(params.taps_fused).shape}")
 
-    rng = np.random.default_rng(0)
     t = np.arange(block)
     msg = np.sin(2 * np.pi * 1000.0 / cfg.iq_rate * t)
     iq = ((1.0 + 0.5 * msg) * 0.3
@@ -61,17 +58,53 @@ def main():
     iq_j = jax.device_put(jnp.asarray(iq))
 
     step = jax.jit(partial(am_step_fused, cfg=cfg, exact=False))
-    # keep state fixed across iterations (steady-state throughput)
-    t_step = bench_fn(lambda p, s, x: step(p, s, x)[1][0], (params, state, iq_j))
-    sps = block / t_step
-    log(f"am_chain fused: {t_step*1e3:.2f} ms/block -> {sps/1e9:.3f} Gsamp/s")
 
+    def run(p, s, x):
+        return step(p, s, x)[1][0]
+
+    for _ in range(2):  # warmup/compile
+        jax.block_until_ready(run(params, state, iq_j))
+    n_iter = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = run(params, state, iq_j)
+    jax.block_until_ready(out)
+    t_step = (time.perf_counter() - t0) / n_iter
+    sps = block / t_step
+    log(f"am_chain fused [{dev.platform}]: {t_step*1e3:.2f} ms/block "
+        f"-> {sps/1e9:.3f} Gsamp/s")
     print(json.dumps({
         "metric": "am_chain_iq_samples_per_sec_per_chip",
         "value": round(sps, 1),
         "unit": "samples/s",
         "vs_baseline": round(sps / REFERENCE_BASELINE_SPS, 2),
+        "platform": str(dev.platform),
     }), flush=True)
+
+
+def main():
+    if _IMPL_FLAG in sys.argv:
+        _impl(sys.argv[sys.argv.index(_IMPL_FLAG) + 1])
+        return
+    here = os.path.dirname(os.path.abspath(__file__))
+    attempts = [("default", 480), ("default", 300), ("cpu", 600)]
+    for platform, deadline in attempts:
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), _IMPL_FLAG, platform],
+                timeout=deadline, capture_output=True, text=True, cwd=here)
+            sys.stderr.write(r.stderr)
+            line = next((ln for ln in r.stdout.splitlines()
+                         if ln.startswith("{")), None)
+            if r.returncode == 0 and line:
+                print(line, flush=True)
+                return
+            log(f"bench attempt ({platform}) failed rc={r.returncode}")
+        except subprocess.TimeoutExpired:
+            log(f"bench attempt ({platform}) stalled past {deadline}s "
+                "(wedged TPU tunnel?); retrying")
+    log("all bench attempts failed")
+    sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -4,10 +4,14 @@ multi-channel banks (config 3+)."""
 
 from .am import AMConfig, AMReceiver, am_step_composed, am_step_fused, build as am_build
 from .bank import BankConfig, ReceiverBank, bank_step, build as bank_build
+from .channelizer import (
+    ChannelizedBank, ChannelizedBankConfig, Channelizer, ChannelizerConfig,
+)
 from .wbfm import WBFMStereoReceiver, mono_receiver
 
 __all__ = [
     "AMConfig", "AMReceiver", "am_step_composed", "am_step_fused", "am_build",
     "BankConfig", "ReceiverBank", "bank_step", "bank_build",
-    "WBFMStereoReceiver", "mono_receiver",
+    "ChannelizedBank", "ChannelizedBankConfig", "Channelizer",
+    "ChannelizerConfig", "WBFMStereoReceiver", "mono_receiver",
 ]

@@ -1,0 +1,175 @@
+"""Critically-sampled polyphase FFT channelizer + demod bank
+(BASELINE.json config 4: 1024 channels at 100 Msps).
+
+Classic PFB analysis bank, TPU-first:
+
+  x reshaped to frames (M, C); branch p of frame m accumulates
+      u[m, p] = sum_t h[t*C + p] * x[(m-t)*C + p]
+  which on TPU is T shifted elementwise multiply-adds over the (M, C)
+  frame matrix (VPU), followed by a batched C-point IFFT along the channel
+  axis (XLA TPU FFT). Output: (M, C) channel matrix at rate fs/C per
+  channel. Carried state: the last T-1 frames.
+
+Channel c is centered at frequency c*fs/C (wrapping above Nyquist to
+negative frequencies). The per-channel gain is unity in the passband of
+the prototype (normalized at design time).
+
+The demod bank then runs vmapped over channels at the decimated rate
+(freqdem for FM, envelope for AM) -- same back end as chains/bank.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..design import firdes, iirdes
+from ..kernels import iir as kiir
+
+TWO_PI = 2.0 * np.pi
+
+
+@dataclass(frozen=True)
+class ChannelizerConfig:
+    nchan: int = 1024
+    taps_per_branch: int = 12
+    iq_rate: float = 100_000_000.0
+    As: float = 60.0
+    # prototype cutoff as a fraction of the channel spacing: slightly wider
+    # than 0.5 keeps the passband flat across each channel (receive-PFB
+    # convention; adjacent-channel overlap is rejected by As in the stopband)
+    cutoff_frac: float = 0.55
+
+    @property
+    def chan_rate(self):
+        return self.iq_rate / self.nchan
+
+
+class ChannelizerState(NamedTuple):
+    tail: jnp.ndarray  # ((T-1)*C + C-1,) complex64: carried raw samples
+
+
+def build(cfg: ChannelizerConfig):
+    C, T = cfg.nchan, cfg.taps_per_branch
+    L = C * T
+    # prototype: cutoff ~ half the channel spacing, unity passband gain
+    h = firdes.kaiser_lowpass(L, cfg.cutoff_frac / C, cfg.As)
+    h = h / h.sum()
+    Ht = jnp.asarray(h.reshape(T, C), jnp.float32)  # Ht[t, p] = h[t*C + p]
+    state = ChannelizerState(
+        tail=jnp.zeros(((T - 1) * C + C - 1,), jnp.complex64))
+    return Ht, state
+
+
+def channelize(Ht, state: ChannelizerState, x):
+    """x: (N,) complex64 with N a multiple of C. Returns
+    (state, Y (M, C) complex64): M = N/C frames of C channel samples;
+    channel c is the signal at center +c/C cycles/sample, at unity
+    prototype-passband gain.
+
+    Derivation: Y[m, c] = sum_n x[n] e^{-2 pi j c n / C} h[mC - n]
+    (mix-down then filter, sampled every C). With n = mC - (tC + p):
+        Y[m, c] = sum_p e^{+2 pi j c p / C} sum_t h[tC+p] x[(m-t)C - p]
+    i.e. branch p reads the commutator BACKWARDS: v[m, p] = x[mC - p],
+    which is the column-reversed framing of the stream delayed by C-1:
+        v = xfull[: M*C].reshape(M, C)[:, ::-1]  (xfull prepends C-1 tail)
+    then T shifted multiply-adds and a C-point IFFT (x C) along p."""
+    T, C = Ht.shape
+    n = x.shape[0]
+    M = n // C
+    xfull = jnp.concatenate([state.tail, x])  # ((T-1)*C + C-1 + N,)
+    M_all = M + T - 1
+    V = xfull[: M_all * C].reshape(M_all, C)[:, ::-1]
+    u = jnp.zeros((M, C), jnp.complex64)
+    for t in range(T):
+        u = u + Ht[t][None, :] * jax.lax.dynamic_slice_in_dim(
+            V, T - 1 - t, M, axis=0)
+    Y = (jnp.fft.ifft(u, axis=1) * C).astype(jnp.complex64)
+    new_state = ChannelizerState(tail=xfull[-((T - 1) * C + C - 1):])
+    return new_state, Y
+
+
+class Channelizer:
+    """Stateful analysis channelizer over fixed-size blocks."""
+
+    def __init__(self, cfg: ChannelizerConfig = ChannelizerConfig(),
+                 block_len: int = 1 << 20):
+        if block_len % cfg.nchan:
+            raise ValueError("block_len must be a multiple of nchan")
+        self.cfg = cfg
+        self.block_len = block_len
+        self.Ht, self.state = build(cfg)
+        self._run = jax.jit(channelize)
+
+    def __call__(self, iq):
+        iq = jnp.asarray(iq, jnp.complex64)
+        self.state, Y = self._run(self.Ht, self.state, iq)
+        return Y
+
+
+class DemodBankState(NamedTuple):
+    ch: ChannelizerState
+    fd_prev: jnp.ndarray   # (C,) complex64
+    deemph: jnp.ndarray    # (C,) float32
+
+
+@dataclass(frozen=True)
+class ChannelizedBankConfig:
+    channelizer: ChannelizerConfig = ChannelizerConfig()
+    demod: str = "fm"
+    kd: float = 0.3125     # at the channel rate (see chains/bank.py)
+    deemph_tau: float = 75e-6
+
+
+def bank_build(cfg: ChannelizedBankConfig):
+    Ht, ch_state = build(cfg.channelizer)
+    C = cfg.channelizer.nchan
+    b0, a = iirdes.deemphasis_coeffs(cfg.channelizer.chan_rate, cfg.deemph_tau)
+    params = (Ht, jnp.float32(b0), jnp.float32(a))
+    state = DemodBankState(
+        ch=ch_state,
+        fd_prev=jnp.full((C,), 1.0 + 0.0j, jnp.complex64),
+        deemph=jnp.zeros((C,), jnp.float32),
+    )
+    return params, state
+
+
+def bank_step(params, state: DemodBankState, x, *, cfg: ChannelizedBankConfig):
+    """100 Msps IQ block -> (state, audio (C, M)): channelize then demod
+    every channel (freqdem + de-emphasis for FM; envelope for AM)."""
+    Ht, b0, a = params
+    ch_state, Y = channelize(Ht, state.ch, x)      # (M, C)
+    Yc = Y.T                                       # (C, M)
+    if cfg.demod == "fm":
+        xprev = jnp.concatenate([state.fd_prev[:, None], Yc[:, :-1]], axis=1)
+        d = Yc * jnp.conj(xprev)
+        base = jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
+            TWO_PI * cfg.kd)
+    else:
+        base = jnp.abs(Yc).astype(jnp.float32)
+    fd_prev = Yc[:, -1]
+    deemph, audio = jax.vmap(
+        lambda y0, xs: kiir.first_order_apply(b0, a, y0, xs)
+    )(state.deemph, base)
+    return DemodBankState(ch_state, fd_prev, deemph), audio
+
+
+class ChannelizedBank:
+    def __init__(self, cfg: ChannelizedBankConfig = ChannelizedBankConfig(),
+                 block_len: int = 1 << 20):
+        if block_len % cfg.channelizer.nchan:
+            raise ValueError("block_len must be a multiple of nchan")
+        self.cfg = cfg
+        self.block_len = block_len
+        self.params, self.state = bank_build(cfg)
+        self._step = jax.jit(partial(bank_step, cfg=cfg))
+
+    def __call__(self, iq):
+        iq = jnp.asarray(iq, jnp.complex64)
+        self.state, audio = self._step(self.params, self.state, iq)
+        return audio

@@ -1,0 +1,158 @@
+"""Multi-host initialization and the wideband scanner (BASELINE config 5).
+
+Transport is JAX's own distributed runtime (SURVEY.md section 2.3: no
+custom NCCL/MPI analog): ``init_distributed`` wraps
+jax.distributed.initialize; once initialized, ``jax.devices()`` spans the
+pod slice and every mesh built by tpudsp/parallel/mesh.py places shards
+across hosts, with XLA routing ppermute/all_gather over ICI within a
+slice and DCN across hosts. Nothing else in the framework is host-count
+aware -- the same ShardedBank / ShardedChannelizer code runs 1-host or
+N-host.
+
+Scanner (config 5: 1 Gsps synthetic IQ over N >= 2 hosts): the PFB
+channelizer time-sharded with overlap-save boundary exchange -- each time
+shard needs (T-1)*C + C-1 carried samples from its left neighbor, one
+ppermute -- followed by the per-channel demod bank, which is embarrassingly
+parallel over the channel axis of each local frame block.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..chains.channelizer import (
+    ChannelizedBankConfig, ChannelizerState, DemodBankState, bank_build,
+)
+from ..design import iirdes
+from ..kernels import iir as kiir
+from .mesh import TIME_AXIS
+
+TWO_PI = 2.0 * np.pi
+
+
+def init_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Initialize the multi-host runtime (DCN). On single-host setups this
+    is a no-op returning False. Mirrors jax.distributed.initialize's
+    autodetection when args are None."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _channelize_local(Ht, tail_local, x_local):
+    """Per-shard PFB given the exchanged tail (same math as
+    chains/channelizer.py channelize)."""
+    T, C = Ht.shape
+    M = x_local.shape[0] // C
+    xfull = jnp.concatenate([tail_local, x_local])
+    M_all = M + T - 1
+    V = xfull[: M_all * C].reshape(M_all, C)[:, ::-1]
+    u = jnp.zeros((M, C), jnp.complex64)
+    for t in range(T):
+        u = u + Ht[t][None, :] * lax.dynamic_slice_in_dim(V, T - 1 - t, M, axis=0)
+    Y = (jnp.fft.ifft(u, axis=1) * C).astype(jnp.complex64)
+    return xfull[-((T - 1) * C + C - 1):], Y
+
+
+def scanner_step(params, state: DemodBankState, x_local, *, cfg: ChannelizedBankConfig):
+    """shard_map body: time-sharded channelize + demod. The (T-1)*C + C-1
+    boundary samples come from the left time neighbor (overlap-save
+    exchange over ICI/DCN); the leftmost shard uses the block-carried tail."""
+    Ht, b0, a = params
+    T, C = Ht.shape
+    halo = (T - 1) * C + C - 1
+    idx = lax.axis_index(TIME_AXIS)
+    n_t = lax.axis_size(TIME_AXIS)
+    tail = x_local[-halo:]
+    if n_t > 1:
+        perm = [(i, i + 1) for i in range(n_t - 1)]
+        from_left = lax.ppermute(tail, TIME_AXIS, perm)
+        tail_local = jnp.where(idx == 0, state.ch.tail, from_left)
+    else:
+        tail_local = state.ch.tail
+    new_tail, Y = _channelize_local(Ht, tail_local, x_local)
+    Yc = Y.T  # (C, M_loc)
+
+    if cfg.demod == "fm":
+        prev1 = Yc[:, -1:]
+        if n_t > 1:
+            from_left1 = lax.ppermute(prev1, TIME_AXIS, perm)
+            prev = jnp.where(idx == 0, state.fd_prev[:, None], from_left1)
+        else:
+            prev = state.fd_prev[:, None]
+        xprev = jnp.concatenate([prev, Yc[:, :-1]], axis=1)
+        d = Yc * jnp.conj(xprev)
+        base = jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
+            TWO_PI * cfg.kd)
+    else:
+        base = jnp.abs(Yc).astype(jnp.float32)
+
+    # de-emphasis across time shards: local assoc scan + tiny cross-shard
+    # prefix of transition aggregates (same pattern as parallel/bank.py)
+    from .bank import _deemph_time_sharded
+    deemph, audio = _deemph_time_sharded(b0, a, state.deemph, base)
+
+    new_state = DemodBankState(
+        ch=ChannelizerState(tail=new_tail[None, :]),
+        fd_prev=Yc[:, -1:],
+        deemph=deemph[:, None],
+    )
+    return new_state, audio
+
+
+class ShardedScanner:
+    """Wideband scanner: PFB channelizer + demod bank, time-sharded over
+    the mesh. Single-host it uses the local mesh; multi-host, build the
+    mesh over jax.devices() after init_distributed."""
+
+    def __init__(self, cfg: ChannelizedBankConfig, mesh: Mesh, block_len: int):
+        C = cfg.channelizer.nchan
+        n_time = mesh.shape[TIME_AXIS]
+        if block_len % (C * n_time):
+            raise ValueError(f"block_len must be a multiple of {C * n_time}")
+        self.cfg = cfg
+        self.mesh = mesh
+        self.block_len = block_len
+        self.params, self.state = bank_build(cfg)
+
+        mapped = jax.shard_map(
+            partial(scanner_step, cfg=cfg), mesh=mesh,
+            in_specs=(P(), DemodBankState(
+                ch=ChannelizerState(tail=P()),
+                fd_prev=P(), deemph=P()), P(TIME_AXIS)),
+            out_specs=(DemodBankState(
+                ch=ChannelizerState(tail=P(TIME_AXIS, None)),
+                fd_prev=P(None, TIME_AXIS), deemph=P(None, TIME_AXIS)),
+                P(None, TIME_AXIS)),
+            check_vma=False,
+        )
+
+        def step(params, state, iq):
+            st, audio = mapped(params, state, iq)
+            new_state = DemodBankState(
+                ch=ChannelizerState(tail=st.ch.tail[-1]),
+                fd_prev=st.fd_prev[:, -1],
+                deemph=st.deemph[:, -1],
+            )
+            return new_state, audio
+
+        self._step = jax.jit(step)
+
+    def __call__(self, iq):
+        iq = jax.device_put(jnp.asarray(iq, jnp.complex64),
+                            NamedSharding(self.mesh, P(TIME_AXIS)))
+        self.state, audio = self._step(self.params, self.state, iq)
+        return audio
