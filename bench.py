@@ -32,6 +32,42 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _bench_secondary(log):
+    """Optional extra configs (BASELINE configs 3/4) to stderr."""
+    import time
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    def rate(name, f, n_samples, iters=5):
+        jax.block_until_ready(f())
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f()
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        log(f"{name}: {dt*1e3:.2f} ms -> {n_samples/dt/1e9:.2f} Gsamp/s")
+
+    from tpudsp.chains.bank import BankConfig, build as bbuild, bank_step
+    cfg16 = BankConfig(freqs=tuple(float(f) for f in
+                                   np.linspace(-1e6, 1e6, 16, endpoint=False)))
+    p, s = bbuild(cfg16)
+    n = 4_000_000
+    x = jnp.zeros((n,), jnp.complex64)
+    f16 = jax.jit(partial(bank_step, cfg=cfg16))
+    rate("bank16 (config 3)", lambda: f16(p, s, x)[1], n)
+
+    from tpudsp.chains.channelizer import (
+        ChannelizedBankConfig, bank_build, bank_step as chstep)
+    ccfg = ChannelizedBankConfig()
+    cp, cs = bank_build(ccfg)
+    nc = 1024 * 4096
+    xc = jnp.zeros((nc,), jnp.complex64)
+    fch = jax.jit(partial(chstep, cfg=ccfg))
+    rate("channelized bank 1024ch (config 4)", lambda: fch(cp, cs, xc)[1], nc)
+
+
 def _impl(platform: str):
     """Runs in the subprocess: measure and print one JSON line."""
     import time
@@ -73,6 +109,11 @@ def _impl(platform: str):
     sps = block / t_step
     log(f"am_chain fused [{dev.platform}]: {t_step*1e3:.2f} ms/block "
         f"-> {sps/1e9:.3f} Gsamp/s")
+    if "--all" in sys.argv:
+        try:
+            _bench_secondary(log)
+        except Exception as e:  # secondary configs must not break the line
+            log(f"secondary bench failed: {type(e).__name__}: {e}")
     print(json.dumps({
         "metric": "am_chain_iq_samples_per_sec_per_chip",
         "value": round(sps, 1),
@@ -90,8 +131,10 @@ def main():
     attempts = [("default", 480), ("default", 300), ("cpu", 600)]
     for platform, deadline in attempts:
         try:
+            extra = ["--all"] if "--all" in sys.argv else []
             r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), _IMPL_FLAG, platform],
+                [sys.executable, os.path.abspath(__file__), _IMPL_FLAG,
+                 platform] + extra,
                 timeout=deadline, capture_output=True, text=True, cwd=here)
             sys.stderr.write(r.stderr)
             line = next((ln for ln in r.stdout.splitlines()

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..design import firdes, iirdes
+from ..kernels import decimate as kdec
 from ..kernels import freqdem as kfd
 from ..kernels import iir as kiir
 
@@ -70,10 +71,10 @@ class BankConfig:
 
 
 class BankParams(NamedTuple):
-    taps_re: jnp.ndarray     # (C, 2, K1): modulated channel taps as real conv kernels
-    taps_im: jnp.ndarray     # (C, 2, K1)
+    taps_re: jnp.ndarray     # (C, Kc, D1): blocked modulated channel taps (re)
+    taps_im: jnp.ndarray     # (C, Kc, D1): (im); correlation order
     dtheta: jnp.ndarray      # (C,) uint32 per-sample phase increments
-    h2: jnp.ndarray          # (C, 1, K2) audio decimation taps (shared, grouped)
+    h2: jnp.ndarray          # (Kc2, D2) blocked audio decimation taps (shared)
     deemph_b0: jnp.ndarray
     deemph_a: jnp.ndarray
 
@@ -93,16 +94,13 @@ def build(cfg: BankConfig):
     h1 = firdes.kaiser_lowpass(cfg.taps1, 0.45 / cfg.decim1, 60.0)
     k = np.arange(cfg.taps1)
     w = np.array([TWO_PI * f / cfg.iq_rate for f in cfg.freqs])  # rad/sample
-    # modulated taps: h1[k] * e^{+j w_c k}; conv kernels flipped for correlation
-    hm = h1[None, :] * np.exp(1j * w[:, None] * k[None, :])
-    hm = hm[:, ::-1]  # (C, K1) convolution order
-    # real-conv decomposition: Re(y) = xr (*) Re(h) - xi (*) Im(h)
-    #                          Im(y) = xr (*) Im(h) + xi (*) Re(h)
-    taps_re = np.stack([hm.real, -hm.imag], axis=1).astype(np.float32)  # (C,2,K1)
-    taps_im = np.stack([hm.imag, hm.real], axis=1).astype(np.float32)
-    h2 = firdes.kaiser_lowpass(cfg.taps2, 0.45 / cfg.decim2, 60.0)
-    h2 = np.broadcast_to(h2[::-1].astype(np.float32), (C, cfg.taps2)).reshape(
-        C, 1, cfg.taps2).copy()
+    # modulated taps h1[k] e^{+j w_c k}, flipped to correlation order and
+    # D1-blocked for the MXU matmul front end (kernels/decimate.py)
+    hm = (h1[None, :] * np.exp(1j * w[:, None] * k[None, :]))[:, ::-1]
+    taps_re = kdec.plan_phase_taps(hm.real.astype(np.float32), cfg.decim1)
+    taps_im = kdec.plan_phase_taps(hm.imag.astype(np.float32), cfg.decim1)
+    h2p = firdes.kaiser_lowpass(cfg.taps2, 0.45 / cfg.decim2, 60.0)[::-1]
+    h2 = kdec.plan_phase_taps(h2p[None, :].astype(np.float32), cfg.decim2)[0]
     b0, a = iirdes.deemphasis_coeffs(cfg.audio_rate)
     dtheta = np.array(
         [np.uint32(int(round((wc % TWO_PI) / TWO_PI * 2**32)) & 0xFFFFFFFF) for wc in w],
@@ -123,13 +121,19 @@ def build(cfg: BankConfig):
     return params, state
 
 
-def _strided_conv(feats, kernels, stride, groups=1):
-    """feats: (F, N) -> (Cout, (N-K)//stride+1) via conv_general_dilated."""
-    out = lax.conv_general_dilated(
-        feats[None], kernels, window_strides=(stride,), padding="VALID",
-        feature_group_count=groups,
-    )
-    return out[0]
+def _audio_decimate(A, h2, D2, nj):
+    """Per-channel strided FIR with shared blocked taps h2 (Kc2, D2):
+    A: (C, L) float32 -> (C, nj). Same blocked-matmul scheme as
+    kernels/decimate.py, batched over channels."""
+    C = A.shape[0]
+    Kc2 = h2.shape[0]
+    M = nj + Kc2 - 1
+    Am = A[:, : M * D2].reshape(C, M, D2)
+    Z = jnp.einsum("cmq,kq->cmk", Am, h2, preferred_element_type=jnp.float32)
+    acc = Z[:, 0:nj, 0]
+    for kk in range(1, Kc2):
+        acc = acc + Z[:, kk:kk + nj, kk]
+    return acc
 
 
 def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig):
@@ -140,19 +144,18 @@ def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig):
     K1, K2 = cfg.taps1, cfg.taps2
     n = iq.shape[0]
     X = jnp.concatenate([state.in_tail, iq])  # (K1-1+N,)
-    feats = jnp.stack([X.real, X.imag]).astype(jnp.float32)  # (2, K1-1+N)
 
-    # batched mix+channelize: two real strided convs -> (C, N/D1) complex
-    yr = _strided_conv(feats, params.taps_re, D1)
-    yi = _strided_conv(feats, params.taps_im, D1)
+    # batched mix+channelize: blocked MXU matmuls -> (C, N/D1) complex
+    nj1 = n // D1
+    y1m = kdec.strided_cfir_matmul(X, params.taps_re, params.taps_im, D1, nj1)
     # output rotation: e^{-j w_c (n0 + m D1)} via uint32 phase lattice
-    m = jnp.arange(yr.shape[-1], dtype=jnp.uint32)
+    m = jnp.arange(nj1, dtype=jnp.uint32)
     th_u = (state.phase[:, None]
             + (state.n0 * params.dtheta)[:, None]
             + m[None, :] * (params.dtheta * jnp.uint32(D1))[:, None])
     theta = th_u.astype(jnp.float32) * jnp.float32(TWO_PI / 4294967296.0)
     rot = jnp.exp(-1j * theta)
-    y1 = (yr + 1j * yi) * rot  # (C, N/D1) complex64 baseband per channel
+    y1 = y1m * rot  # (C, N/D1) complex64 baseband per channel
 
     if cfg.demod == "fm":
         prev = state.fd_prev
@@ -165,9 +168,9 @@ def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig):
         base = jnp.abs(y1).astype(jnp.float32)
         fd_prev = y1[:, -1]
 
-    # audio decimation: grouped strided conv (C groups, shared taps)
+    # audio decimation: per-channel blocked matmul with shared taps
     A = jnp.concatenate([state.a_tail, base], axis=1)  # (C, K2-1+N/D1)
-    audio = _strided_conv(A, params.h2, D2, groups=C)  # (C, N/(D1 D2))
+    audio = _audio_decimate(A, params.h2, D2, nj1 // D2)  # (C, N/(D1 D2))
 
     # de-emphasis: first-order assoc scan vmapped over channels
     deemph, audio = jax.vmap(

@@ -62,3 +62,32 @@ def interleave_phases(y_phases):
     """(P, nj) per-phase outputs -> (P*nj,) stream in output order
     (output k = j*P + r)."""
     return jnp.stack(y_phases, axis=1).reshape(-1) if y_phases.ndim == 2 else y_phases
+
+
+def strided_cfir_matmul(X, Tre, Tim, Q: int, nj: int):
+    """Multi-channel complex-taps strided FIR as blocked MXU matmuls
+    (the receiver-bank front end: per-channel modulated taps, one shared
+    input stream).
+
+    X: (L,) complex64 with L >= (nj + Kc - 1) * Q;
+    Tre/Tim: (C, Kc, Q) float32 blocked correlation-order taps
+    (y[c, j] = sum_i (Tre + j Tim)_flat[c, i] * X[j*Q + i]).
+    Returns (C, nj) complex64."""
+    C, Kc, _ = Tre.shape
+    M = nj + Kc - 1
+    Xm = X[: M * Q].reshape(M, Q)
+    xr = Xm.real.astype(jnp.float32)
+    xi = Xm.imag.astype(jnp.float32)
+    # (M, Q) x (C, Kc, Q) -> (C, M, Kc); 4 real matmuls for complex result
+    zrr = jnp.einsum("mq,ckq->cmk", xr, Tre, preferred_element_type=jnp.float32)
+    zii = jnp.einsum("mq,ckq->cmk", xi, Tim, preferred_element_type=jnp.float32)
+    zri = jnp.einsum("mq,ckq->cmk", xr, Tim, preferred_element_type=jnp.float32)
+    zir = jnp.einsum("mq,ckq->cmk", xi, Tre, preferred_element_type=jnp.float32)
+    Zr = zrr - zii
+    Zi = zri + zir
+    accr = Zr[:, 0:nj, 0]
+    acci = Zi[:, 0:nj, 0]
+    for k in range(1, Kc):
+        accr = accr + Zr[:, k:k + nj, k]
+        acci = acci + Zi[:, k:k + nj, k]
+    return (accr + 1j * acci).astype(jnp.complex64)

@@ -98,18 +98,18 @@ def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConf
 
     halo_in = _left_halo_1d(iq, K1 - 1, state.in_tail)
     X = jnp.concatenate([halo_in, iq])
-    feats = jnp.stack([X.real, X.imag]).astype(jnp.float32)
-    yr = lax.conv_general_dilated(feats[None], params.taps_re, (D1,), "VALID")[0]
-    yi = lax.conv_general_dilated(feats[None], params.taps_im, (D1,), "VALID")[0]
+    from ..kernels import decimate as kdec
+    nj1 = n_loc // D1
+    y1m = kdec.strided_cfir_matmul(X, params.taps_re, params.taps_im, D1, nj1)
 
     # rotation with the GLOBAL output index: m_glob = t_idx*n_loc/D1 + m
-    m0 = (t_idx.astype(jnp.uint32) * jnp.uint32(n_loc // D1))
-    m = m0 + jnp.arange(yr.shape[-1], dtype=jnp.uint32)
+    m0 = (t_idx.astype(jnp.uint32) * jnp.uint32(nj1))
+    m = m0 + jnp.arange(nj1, dtype=jnp.uint32)
     th_u = (state.phase[:, None]
             + (state.n0 * params.dtheta)[:, None]
             + m[None, :] * (params.dtheta * jnp.uint32(D1))[:, None])
     theta = th_u.astype(jnp.float32) * jnp.float32(TWO_PI / 4294967296.0)
-    y1 = (yr + 1j * yi) * jnp.exp(-1j * theta)
+    y1 = y1m * jnp.exp(-1j * theta)
 
     if cfg.demod == "fm":
         prev = _left_halo_1d(y1, 1, state.fd_prev[:, None])
@@ -123,8 +123,8 @@ def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConf
 
     halo_a = _left_halo_1d(base, K2 - 1, state.a_tail)
     A = jnp.concatenate([halo_a, base], axis=1)
-    audio = lax.conv_general_dilated(A[None], params.h2, (D2,), "VALID",
-                                     feature_group_count=C_loc)[0]
+    from ..chains.bank import _audio_decimate
+    audio = _audio_decimate(A, params.h2, D2, nj1 // D2)
 
     deemph, audio = _deemph_time_sharded(
         params.deemph_b0, params.deemph_a, state.deemph, audio)
@@ -169,7 +169,7 @@ class ShardedBank:
 
         param_specs = BankParams(
             taps_re=P(CHANNEL_AXIS), taps_im=P(CHANNEL_AXIS),
-            dtheta=P(CHANNEL_AXIS), h2=P(CHANNEL_AXIS),
+            dtheta=P(CHANNEL_AXIS), h2=P(),  # audio taps shared
             deemph_b0=P(), deemph_a=P(),
         )
         state_specs = BankState(
