@@ -111,6 +111,33 @@ def test_fm_bank_block_invariance():
     assert snr_db(y1[:, 10:], y2[:, 10:]) > 60.0
 
 
+def test_wbfm_audio_decimator_uniform_sampling():
+    """Regression (code-review finding): the two-phase 600k->48k decimator
+    must produce UNIFORMLY spaced samples (odd outputs at 25j + 12.5, not
+    25j + 0.5) -- a 5 kHz tone must fit the uniform 48 kHz grid cleanly."""
+    import jax.numpy as jnp_
+    from jax import lax
+    from tpudsp.chains.wbfm import StereoConfig, WBFMStereoReceiver
+    rx = WBFMStereoReceiver()
+    h2 = np.asarray(rx._params[1])
+    comp_rate = 600000.0
+    n = 200000
+    f = 5000.0 / comp_rate
+    x = np.cos(2 * np.pi * f * np.arange(n)).astype(np.float32)
+    A = jnp_.asarray(x)
+    o0 = lax.conv_general_dilated(A[None, None], jnp_.asarray(h2[0])[None, None],
+                                  (25,), "VALID")[0, 0]
+    o1 = lax.conv_general_dilated(A[None, None, 12:], jnp_.asarray(h2[1])[None, None],
+                                  (25,), "VALID")[0, 0]
+    m = min(o0.shape[0], o1.shape[0])
+    y = np.stack([np.asarray(o0[:m]), np.asarray(o1[:m])], 1).reshape(-1)[400:-400]
+    k = np.arange(len(y)) + 800
+    ref = np.exp(2j * np.pi * f * 12.5 * k)
+    a = np.vdot(ref, y + 0j) / np.vdot(ref, ref)
+    resid = y - 2 * (a * ref).real
+    assert 10 * np.log10(np.mean(y ** 2) / np.mean(resid ** 2)) > 60.0
+
+
 def test_wbfm_stereo_receiver():
     iq_rate = 2_400_000.0
     n = 1_000_000  # multiple of decim1*25 = 100

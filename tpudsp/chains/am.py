@@ -222,7 +222,7 @@ class AMReceiver:
     AGC/PLL scans (for verification), exact=False the chunk-parallel ones
     (throughput; default)."""
 
-    def __init__(self, cfg: AMConfig = AMConfig(), block_len: int = 1 << 20,
+    def __init__(self, cfg: AMConfig = AMConfig(), block_len: int = 1_000_000,
                  plan: str = "fused", exact: bool = False):
         if plan == "fused" and _rational(cfg.rate) is None:
             plan = "composed"

@@ -191,7 +191,7 @@ def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig):
 class ReceiverBank:
     """Stateful multi-channel bank over fixed-size shared-IQ blocks."""
 
-    def __init__(self, cfg: BankConfig, block_len: int = 1 << 20):
+    def __init__(self, cfg: BankConfig, block_len: int = 1_000_000):
         D = cfg.decim1 * cfg.decim2
         if block_len % D:
             raise ValueError(f"block_len must be a multiple of {D}")

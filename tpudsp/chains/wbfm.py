@@ -31,7 +31,7 @@ TWO_PI = 2.0 * np.pi
 
 
 def mono_receiver(freq_offset_hz: float = 0.0, iq_rate: float = 2_400_000.0,
-                  block_len: int = 1 << 20) -> ReceiverBank:
+                  block_len: int = 1_000_000) -> ReceiverBank:
     """Mono WBFM: decimate 2.4M -> 240k, freqdem, decimate -> 48k, deemph."""
     chan_rate = iq_rate / 10
     cfg = BankConfig(freqs=(freq_offset_hz,), iq_rate=iq_rate, demod="fm",
@@ -52,8 +52,10 @@ class StereoState(NamedTuple):
 @dataclass(frozen=True)
 class StereoConfig:
     iq_rate: float = 2_400_000.0
-    decim1: int = 4          # 2.4M -> 600k composite rate (fits 19/38/53 kHz)
-    decim2: int = 25         # wait -- 600k/25 = 24k; use 12.5? keep 600k->48k exact
+    decim1: int = 4     # 2.4M -> 600k composite rate (fits 19/38/53 kHz)
+    decim2: int = 25    # audio rate = 2*comp_rate/decim2 (600k -> 48k): the
+                        # fractional 12.5x decimation runs as two strided-by-
+                        # decim2 convolutions offset by decim2/2 samples
     taps1: int = 96
     taps2: int = 256
     kd: float = 4.0
@@ -73,15 +75,16 @@ def _stereo_step(params, state: StereoState, iq, *, cfg: StereoConfig):
     right = s - lr
     dl, left = kiir.first_order_apply(b0, a, state.dl, left)
     dr, right = kiir.first_order_apply(b0, a, state.dr, right)
-    # audio decimation 600k -> 48k (factor 12.5 -> use polyphase-free 2-stage:
-    # here rational decim by 25 after x2 interp is overkill; decimate by 12
-    # would give 50k. Instead decimate composite by 25/2 via stride 25 on a
-    # 2x zero-stuffed stream folded into the taps -- equivalently: conv with
-    # stride 25 over the 2x-interpolated signal = two phase taps, stride 25.
+    # audio decimation 600k -> 48k (rate 2/decim2 = 2/25): interleaved
+    # output k sits at composite position k*decim2/2, i.e. even outputs at
+    # 25j (phase-0 taps, window start 0) and odd outputs at 25j + 12.5
+    # (half-sample-offset taps, window start shifted by decim2//2)
+    D2 = cfg.decim2
+    half = D2 // 2
     def dec_audio(tail, xs):
         A = jnp.concatenate([tail, xs])
-        o0 = lax.conv_general_dilated(A[None, None], h2[0][None, None], (25,), "VALID")[0, 0]
-        o1 = lax.conv_general_dilated(A[None, None], h2[1][None, None], (25,), "VALID")[0, 0]
+        o0 = lax.conv_general_dilated(A[None, None], h2[0][None, None], (D2,), "VALID")[0, 0]
+        o1 = lax.conv_general_dilated(A[None, None, half:], h2[1][None, None], (D2,), "VALID")[0, 0]
         n = min(o0.shape[0], o1.shape[0])
         out = jnp.stack([o0[:n], o1[:n]], 1).reshape(-1)
         return A[-(h2.shape[1] - 1):], out
@@ -99,9 +102,9 @@ class WBFMStereoReceiver:
     two-phase polyphase decimation 600k -> 48k (rate 2/25: two strided
     convolutions with half-sample-offset taps)."""
 
-    def __init__(self, cfg: StereoConfig = StereoConfig(), block_len: int = 1 << 20):
-        if block_len % (cfg.decim1 * 25):
-            raise ValueError("block_len must be a multiple of decim1*25")
+    def __init__(self, cfg: StereoConfig = StereoConfig(), block_len: int = 1_000_000):
+        if block_len % (cfg.decim1 * cfg.decim2):
+            raise ValueError("block_len must be a multiple of decim1*decim2")
         self.cfg = cfg
         comp_rate = cfg.iq_rate / cfg.decim1       # 600 k
         h1 = firdes.kaiser_lowpass(cfg.taps1, 0.45 / cfg.decim1, 60.0)[::-1]

@@ -26,11 +26,23 @@ _agc_exact = jax.jit(kagc.agc_apply)
 _agc_chunked = jax.jit(partial(kagc.agc_apply_chunked, chunk=1024, warmup=2048))
 
 
+def _agc_chunked_pallas(params, state, x):
+    from ..pallas import enabled
+    from ..pallas.agc_scan import agc_chunked_pallas
+    # compiled natively on TPU; interpret mode elsewhere (same semantics)
+    return agc_chunked_pallas(params, state, x, chunk=1024, warmup=2048,
+                              interpret=not enabled())
+
+
 class AGC(StatefulOp):
-    def __init__(self, throughput_mode: bool = False):
+    def __init__(self, throughput_mode: bool = False, use_pallas: bool = False):
         # throughput_mode selects the chunk-parallel kernel (documented
         # ~-86 dB approximation); default is the exact sequential scan.
+        # use_pallas swaps in the hand-written VMEM kernel
+        # (tpudsp/pallas/agc_scan.py) for the chunked path -- measured at
+        # parity with the XLA path on TPU v5e, provided as an opt-in.
         self._throughput = bool(throughput_mode)
+        self._use_pallas = bool(use_pallas)
         self._bandwidth = 0.01       # liquid agc default loop bandwidth
         self._squelch = False
         self._threshold = 0.0
@@ -155,7 +167,12 @@ class AGC(StatefulOp):
             alpha=self._bandwidth, locked=self._lock, squelch=self._squelch,
             threshold=self._threshold, timeout=self._timeout, scale=self._scale,
         )
-        run = _agc_chunked if self._throughput else _agc_exact
+        if self._throughput and self._use_pallas:
+            run = _agc_chunked_pallas
+        elif self._throughput:
+            run = _agc_chunked
+        else:
+            run = _agc_exact
         self._state, (y, modes) = run(params, self._state, xj)
         if self._squelch and self._onRise is not None:
             modes_h = np.asarray(modes)

@@ -23,6 +23,7 @@ from ..kernels import resamp as krs
 from .base import StatefulOp, as_c64
 
 _freqdem = jax.jit(kfd.freqdem_apply)
+_c2r_apply = jax.jit(khilb.c2r_apply)
 
 
 class FreqDem(StatefulOp):
@@ -127,7 +128,7 @@ class SSBDemod(StatefulOp):
     def __init__(self, band):
         self._usb = band == "usb"
         self._h = jnp.asarray(firdes.hilbert_fir(self.HILB_M, 60.0), jnp.float32)
-        self._c2r = jax.jit(khilb.c2r_apply)
+        self._c2r = _c2r_apply
         self.reset()
 
     def reset(self):
@@ -198,6 +199,23 @@ class FMStereo(StatefulOp):
         self._rs_l = krs.resamp_init(2 * self._m, jnp.float32)
         self._rs_r = krs.resamp_init(2 * self._m, jnp.float32)
         self._tau = 0.0
+
+    @property
+    def state(self):
+        """Full checkpointable state: block pytree + resampler tails/phase."""
+        return {
+            "block": jax.tree.map(np.asarray, self._state),
+            "rs_l": np.asarray(self._rs_l),
+            "rs_r": np.asarray(self._rs_r),
+            "tau": self._tau,
+        }
+
+    def with_state(self, state):
+        self._state = jax.tree.map(jnp.asarray, state["block"])
+        self._rs_l = jnp.asarray(state["rs_l"])
+        self._rs_r = jnp.asarray(state["rs_r"])
+        self._tau = float(state["tau"])
+        return self
 
     def __call__(self, inp):
         xj = as_c64(inp)

@@ -73,6 +73,21 @@ class NCO(StatefulOp):
         self.freq = self._freq + self._pll_alpha * float(dphase)
         self.adjust_phase(self._pll_beta * float(dphase))
 
+    @property
+    def state(self):
+        """Full checkpointable state: uint32 phase, frequency, PLL gains."""
+        return {
+            "phase_u": np.uint32(self._phase_u),
+            "freq": self._freq,
+            "pll_bw": self._pll_bw,
+        }
+
+    def with_state(self, state):
+        self._phase_u = np.uint32(state["phase_u"])
+        self.freq = float(state["freq"])
+        self.set_pll_bandwidth(float(state["pll_bw"]))
+        return self
+
     def print(self):
         print(
             f"nco [type: {self.type}, phase: {self.phase:.6f} rad, "

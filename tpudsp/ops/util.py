@@ -14,6 +14,8 @@ from ..kernels import hilbert as khilb
 from .base import StatefulOp
 
 _delay_apply = jax.jit(kfir.delay_apply)
+_interp_apply = jax.jit(khilb.interp_apply)
+_decim_apply = jax.jit(khilb.decim_apply)
 
 
 class Delay(StatefulOp):
@@ -72,8 +74,8 @@ class HilbertTransform(StatefulOp):
     def __init__(self, m=5, As=60.0):
         self._m = int(m)
         self._h = jnp.asarray(firdes.halfband_lowpass(self._m, As), jnp.float32)
-        self._interp = jax.jit(khilb.interp_apply)
-        self._decim = jax.jit(khilb.decim_apply)
+        self._interp = _interp_apply
+        self._decim = _decim_apply
         self.reset()
 
     def reset(self):
@@ -103,9 +105,10 @@ class HilbertTransform(StatefulOp):
 
 def bytes_to_iq(byts: bytes) -> np.ndarray:
     """Raw interleaved int16 IQ bytes -> complex64 scaled by 1/32767
-    (reference utility.hpp:61-69). Vectorized view + scale; trailing bytes
-    that do not complete a 4-byte IQ pair are dropped, as the reference's
-    size/4 loop does."""
-    n = len(byts) // 4
-    x = np.frombuffer(byts, dtype=np.int16, count=2 * n).astype(np.float32) / 32767.0
-    return (x[0::2] + 1j * x[1::2]).astype(np.complex64)
+    (reference utility.hpp:61-69). Delegates to the native-backed
+    implementation in tpudsp/io/ingest.py (C fast path when the local
+    toolchain built it, NumPy fallback otherwise); trailing bytes that do
+    not complete a 4-byte IQ pair are dropped, as the reference's size/4
+    loop does."""
+    from ..io.ingest import bytes_to_iq as _impl
+    return _impl(byts)

@@ -10,9 +10,11 @@ VMEM and fusing warmup + main scan into one pass per lane tile:
   (g, y2p, squelch mode, timer) live in VMEM scratch for the whole scan.
   Grid tiles the chunk axis in blocks of 128 lanes.
 
-Used by the ops/chains when `tpudsp.pallas.enabled()` (TPU present);
-falls back to the XLA path elsewhere. Correctness is pinned to the XLA
-kernel by tests (interpret mode on CPU, compiled on TPU).
+Opt-in drop-in for the XLA chunked AGC (AGC(use_pallas=True), or call
+agc_chunked_pallas directly): measured at parity with the XLA scan+vmap
+path on TPU v5e (0.12 vs 0.11 ms at 96k samples), so the XLA path stays
+the default. Correctness is pinned to the XLA kernel by tests (interpret
+mode on CPU; compiled natively on TPU).
 """
 
 from __future__ import annotations
@@ -26,30 +28,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..kernels.agc import (
-    SQ_DISABLED, SQ_ENABLED, SQ_FALL, SQ_RISE, SQ_SIGNALHI, SQ_SIGNALLO,
-    SQ_TIMEOUT, SQ_UNKNOWN, AgcParams, AgcState,
+    SQ_ENABLED, SQ_SIGNALLO, AgcParams, AgcState, _fsm_step,
 )
 
 LANES = 128
-
-
-def _fsm_rows(mode, timer, high, timeout, squelch_on):
-    """Vectorized squelch FSM step on (1, LANES) int32 rows."""
-    is_ = lambda m: mode == m
-    nm = mode
-    nm = jnp.where(is_(SQ_UNKNOWN) | is_(SQ_ENABLED),
-                   jnp.where(high, SQ_RISE, SQ_ENABLED), nm)
-    nm = jnp.where(is_(SQ_RISE), jnp.where(high, SQ_SIGNALHI, SQ_FALL), nm)
-    nm = jnp.where(is_(SQ_SIGNALHI) & ~high, SQ_FALL, nm)
-    nm = jnp.where(is_(SQ_FALL), jnp.where(high, SQ_SIGNALHI, SQ_SIGNALLO), nm)
-    timer = jnp.where(is_(SQ_FALL) & ~high, timeout, timer)
-    in_lo = is_(SQ_SIGNALLO)
-    timer = jnp.where(in_lo & ~high, timer - 1, timer)
-    nm = jnp.where(in_lo, jnp.where(high, SQ_SIGNALHI,
-                                    jnp.where(timer <= 0, SQ_TIMEOUT, SQ_SIGNALLO)), nm)
-    nm = jnp.where(is_(SQ_TIMEOUT), SQ_ENABLED, nm)
-    nm = jnp.where(squelch_on, nm, SQ_DISABLED).astype(jnp.int32)
-    return nm, timer.astype(jnp.int32)
 
 
 def _agc_kernel(scal_ref, wre_ref, wim_ref, wval_ref, xre_ref, xim_ref,
@@ -79,7 +61,8 @@ def _agc_kernel(scal_ref, wre_ref, wim_ref, wval_ref, xre_ref, xim_ref,
         g = jnp.where(locked, g, g_new)
         rssi = -20.0 * jnp.log10(jnp.maximum(g, 1e-30))
         high = rssi > threshold
-        mode, timer = _fsm_rows(mode, timer, high, timeout, squelch_on)
+        # shared FSM step (kernels/agc.py): pure jnp, Pallas-safe
+        mode, timer = _fsm_step(mode, timer, high, timeout, squelch_on)
         zero = (mode == SQ_ENABLED) | (mode == SQ_SIGNALLO)
         outr = jnp.where(zero, 0.0, yr * scale)
         outi = jnp.where(zero, 0.0, yi * scale)

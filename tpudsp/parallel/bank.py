@@ -32,22 +32,14 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..chains.bank import BankConfig, BankParams, BankState, build  # noqa: F401
+from .halo import left_halo
 from .mesh import CHANNEL_AXIS, TIME_AXIS
 
 TWO_PI = 2.0 * np.pi
 
 
 def _left_halo_1d(x_local, halo, fill):
-    """Last `halo` elements of the left time-neighbor's x_local (leading
-    time axis is the LAST axis here). fill: values for the leftmost shard."""
-    n_t = lax.axis_size(TIME_AXIS)
-    idx = lax.axis_index(TIME_AXIS)
-    tail = x_local[..., -halo:] if halo > 0 else x_local[..., :0]
-    if n_t == 1:
-        return fill
-    perm = [(i, i + 1) for i in range(n_t - 1)]
-    from_left = lax.ppermute(tail, TIME_AXIS, perm)
-    return jnp.where(idx == 0, fill, from_left)
+    return left_halo(x_local, halo, TIME_AXIS, fill)
 
 
 def _deemph_time_sharded(b0, a, y0, x_local):

@@ -20,22 +20,18 @@ def left_halo(x_local, halo: int, axis_name: str, leftmost_fill):
 
     x_local: (..., N_local) this shard's samples; leftmost_fill: (..., halo)
     values for the leftmost shard (carried tail, or zeros). Returns
-    (..., halo) array. Single collective: ppermute right by one.
+    (..., halo) array. Single collective: ppermute right by one; a
+    single-shard axis degenerates to the fill (pure block streaming).
     """
-    idx = lax.axis_index(axis_name)
     n_shards = lax.axis_size(axis_name)
+    if halo <= 0:
+        return x_local[..., :0]
+    if n_shards == 1:
+        return leftmost_fill
+    idx = lax.axis_index(axis_name)
     tail = x_local[..., -halo:]
     perm = [(i, i + 1) for i in range(n_shards - 1)]
     from_left = lax.ppermute(tail, axis_name, perm)
     return jnp.where(idx == 0, leftmost_fill, from_left)
 
 
-def fir_sharded_local(h, x_local, halo_left):
-    """Per-shard overlap-save FIR given the exchanged halo: equivalent to
-    valid conv over [halo_left, x_local]."""
-    X = jnp.concatenate([halo_left.astype(x_local.dtype), x_local], axis=-1)
-    K = h.shape[0]
-    acc = jnp.zeros_like(x_local, dtype=jnp.result_type(x_local.dtype, h.dtype))
-    for k in range(K):
-        acc = acc + h[k] * lax.dynamic_slice_in_dim(X, K - 1 - k, x_local.shape[-1], axis=-1)
-    return acc

@@ -71,28 +71,16 @@ def scanner_step(params, state: DemodBankState, x_local, *, cfg: ChannelizedBank
     """shard_map body: time-sharded channelize + demod. The (T-1)*C + C-1
     boundary samples come from the left time neighbor (overlap-save
     exchange over ICI/DCN); the leftmost shard uses the block-carried tail."""
+    from .halo import left_halo
     Ht, b0, a = params
     T, C = Ht.shape
     halo = (T - 1) * C + C - 1
-    idx = lax.axis_index(TIME_AXIS)
-    n_t = lax.axis_size(TIME_AXIS)
-    tail = x_local[-halo:]
-    if n_t > 1:
-        perm = [(i, i + 1) for i in range(n_t - 1)]
-        from_left = lax.ppermute(tail, TIME_AXIS, perm)
-        tail_local = jnp.where(idx == 0, state.ch.tail, from_left)
-    else:
-        tail_local = state.ch.tail
+    tail_local = left_halo(x_local, halo, TIME_AXIS, state.ch.tail)
     new_tail, Y = _channelize_local(Ht, tail_local, x_local)
     Yc = Y.T  # (C, M_loc)
 
     if cfg.demod == "fm":
-        prev1 = Yc[:, -1:]
-        if n_t > 1:
-            from_left1 = lax.ppermute(prev1, TIME_AXIS, perm)
-            prev = jnp.where(idx == 0, state.fd_prev[:, None], from_left1)
-        else:
-            prev = state.fd_prev[:, None]
+        prev = left_halo(Yc, 1, TIME_AXIS, state.fd_prev[:, None])
         xprev = jnp.concatenate([prev, Yc[:, :-1]], axis=1)
         d = Yc * jnp.conj(xprev)
         base = jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
