@@ -46,7 +46,11 @@ TWO_PI = 2.0 * np.pi
 class BankConfig:
     freqs: tuple          # per-channel center freqs in Hz
     iq_rate: float = 2_400_000.0
-    demod: str = "fm"     # 'fm' (freqdem+deemph) or 'am' (envelope+deemph)
+    # 'fm' (freqdem+deemph), 'am' (envelope+deemph), or a per-channel tuple
+    # of those -- the EP-analog dispatch of SURVEY.md section 2.3: demod
+    # type selects a kernel per channel, executed branch-free as batched
+    # compute + mask select (no gather/scatter, no divergence)
+    demod: str | tuple = "fm"
     decim1: int = 10      # input rate -> channel rate
     decim2: int = 5       # channel rate -> audio rate
     # FM demod factor normalized at the CHANNEL (decimated) rate: for a
@@ -77,6 +81,7 @@ class BankParams(NamedTuple):
     h2: jnp.ndarray          # (Kc2, D2) blocked audio decimation taps (shared)
     deemph_b0: jnp.ndarray
     deemph_a: jnp.ndarray
+    fm_mask: jnp.ndarray     # (C,) bool: per-channel FM (True) / AM (False)
 
 
 class BankState(NamedTuple):
@@ -102,6 +107,12 @@ def build(cfg: BankConfig):
     h2p = firdes.kaiser_lowpass(cfg.taps2, 0.45 / cfg.decim2, 60.0)[::-1]
     h2 = kdec.plan_phase_taps(h2p[None, :].astype(np.float32), cfg.decim2)[0]
     b0, a = iirdes.deemphasis_coeffs(cfg.audio_rate)
+    if isinstance(cfg.demod, str):
+        fm_mask = np.full((C,), cfg.demod == "fm")
+    else:
+        if len(cfg.demod) != C:
+            raise ValueError("per-channel demod tuple must match freqs")
+        fm_mask = np.array([d == "fm" for d in cfg.demod])
     dtheta = np.array(
         [np.uint32(int(round((wc % TWO_PI) / TWO_PI * 2**32)) & 0xFFFFFFFF) for wc in w],
         dtype=np.uint32)
@@ -109,6 +120,7 @@ def build(cfg: BankConfig):
         taps_re=jnp.asarray(taps_re), taps_im=jnp.asarray(taps_im),
         dtheta=jnp.asarray(dtheta), h2=jnp.asarray(h2),
         deemph_b0=jnp.float32(b0), deemph_a=jnp.float32(a),
+        fm_mask=jnp.asarray(fm_mask),
     )
     state = BankState(
         in_tail=jnp.zeros((cfg.taps1 - 1,), jnp.complex64),
@@ -119,6 +131,13 @@ def build(cfg: BankConfig):
         deemph=jnp.zeros((C,), jnp.float32),
     )
     return params, state
+
+
+def _fm_base(y1, fd_prev, kd):
+    xprev = jnp.concatenate([fd_prev[:, None], y1[:, :-1]], axis=1)
+    d = y1 * jnp.conj(xprev)
+    return jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
+        TWO_PI * kd)
 
 
 def _audio_decimate(A, h2, D2, nj):
@@ -158,15 +177,14 @@ def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig):
     y1 = y1m * rot  # (C, N/D1) complex64 baseband per channel
 
     if cfg.demod == "fm":
-        prev = state.fd_prev
-        xprev = jnp.concatenate([prev[:, None], y1[:, :-1]], axis=1)
-        d = y1 * jnp.conj(xprev)
-        base = jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
-            TWO_PI * cfg.kd)
-        fd_prev = y1[:, -1]
-    else:  # 'am' envelope
+        base = _fm_base(y1, state.fd_prev, cfg.kd)
+    elif cfg.demod == "am":
         base = jnp.abs(y1).astype(jnp.float32)
-        fd_prev = y1[:, -1]
+    else:  # mixed bank: compute both batched, mask-select per channel
+        base = jnp.where(params.fm_mask[:, None],
+                         _fm_base(y1, state.fd_prev, cfg.kd),
+                         jnp.abs(y1).astype(jnp.float32))
+    fd_prev = y1[:, -1]
 
     # audio decimation: per-channel blocked matmul with shared taps
     A = jnp.concatenate([state.a_tail, base], axis=1)  # (C, K2-1+N/D1)

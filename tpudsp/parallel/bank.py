@@ -103,14 +103,20 @@ def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConf
     theta = th_u.astype(jnp.float32) * jnp.float32(TWO_PI / 4294967296.0)
     y1 = y1m * jnp.exp(-1j * theta)
 
-    if cfg.demod == "fm":
+    def fm_base():
         prev = _left_halo_1d(y1, 1, state.fd_prev[:, None])
         xprev = jnp.concatenate([prev, y1[:, :-1]], axis=1)
         d = y1 * jnp.conj(xprev)
-        base = jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
+        return jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
             TWO_PI * cfg.kd)
-    else:
+
+    if cfg.demod == "fm":
+        base = fm_base()
+    elif cfg.demod == "am":
         base = jnp.abs(y1).astype(jnp.float32)
+    else:  # mixed: branch-free per-channel dispatch (EP analog)
+        base = jnp.where(params.fm_mask[:, None], fm_base(),
+                         jnp.abs(y1).astype(jnp.float32))
     fd_prev = y1[:, -1]
 
     halo_a = _left_halo_1d(base, K2 - 1, state.a_tail)
@@ -162,7 +168,7 @@ class ShardedBank:
         param_specs = BankParams(
             taps_re=P(CHANNEL_AXIS), taps_im=P(CHANNEL_AXIS),
             dtheta=P(CHANNEL_AXIS), h2=P(),  # audio taps shared
-            deemph_b0=P(), deemph_a=P(),
+            deemph_b0=P(), deemph_a=P(), fm_mask=P(CHANNEL_AXIS),
         )
         state_specs = BankState(
             in_tail=P(), phase=P(CHANNEL_AXIS), n0=P(),
