@@ -162,8 +162,25 @@ def build(cfg: AMConfig, block_len: int):
     return params, state, n_out
 
 
-def _back_end(params: AMParams, state: AMState, baseband, cfg: AMConfig, exact: bool):
-    """AGC -> AmpModem -> de-emphasis at the pcm rate."""
+def _back_end(params: AMParams, state: AMState, baseband, cfg: AMConfig, exact: bool,
+              backend: str = "xla"):
+    """AGC -> AmpModem -> de-emphasis at the pcm rate.
+
+    backend='pallas' routes the feedback core through the single fused
+    VMEM kernel (tpudsp/pallas/am_backend_scan.py) instead of the two
+    separate XLA chunked scans; only valid with exact=False."""
+    if backend == "pallas" and not exact:
+        from ..kernels import am_backend as kab
+        from ..pallas import enabled
+        from ..pallas.am_backend_scan import am_backend_chunked_pallas
+        p = kab.make_params(params.agc, params.mod, params.deemph_b0,
+                            params.deemph_a, carrier=cfg.carrier)
+        st = kab.AmBackendState(agc=state.agc, pll=state.am.pll,
+                                dc=state.am.dc, deemph=state.deemph)
+        st, (pcm, modes) = am_backend_chunked_pallas(
+            p, st, baseband, interpret=not enabled())
+        am_state = kam.AmpDemodState(pll=st.pll, dc=st.dc, c2r=state.am.c2r)
+        return st.agc, am_state, st.deemph, pcm, modes
     agc_fn = kagc.agc_apply if exact else partial(
         kagc.agc_apply_chunked, chunk=1024, warmup=2048)
     agc_state, (z, modes) = agc_fn(params.agc, state.agc, baseband)
@@ -176,7 +193,7 @@ def _back_end(params: AMParams, state: AMState, baseband, cfg: AMConfig, exact: 
 
 
 def am_step_composed(params: AMParams, state: AMState, iq, *, cfg: AMConfig,
-                     exact: bool = False):
+                     exact: bool = False, backend: str = "xla"):
     """Reference-ordered chain: bandpass -> resample -> agc -> am -> deemph."""
     fir_tail, bb = kfir.fir_apply(params.h_bp, state.fir_tail, iq)
     ntaps = params.H_rs.shape[1]
@@ -184,13 +201,13 @@ def am_step_composed(params: AMParams, state: AMState, iq, *, cfg: AMConfig,
         params.H_rs, state.rs_tail[-ntaps:], bb, params.q, params.frac)
     rs_tail_full = jnp.concatenate([state.rs_tail, bb])[-state.rs_tail.shape[0]:]
     agc_state, am_state, d_state, pcm, modes = _back_end(
-        params, state, y48, cfg, exact)
+        params, state, y48, cfg, exact, backend)
     new_state = AMState(fir_tail, rs_tail_full, agc_state, am_state, d_state)
     return new_state, (pcm, modes)
 
 
 def am_step_fused(params: AMParams, state: AMState, iq, *, cfg: AMConfig,
-                  exact: bool = False):
+                  exact: bool = False, backend: str = "xla"):
     """Fused front end: bandpass+anti-alias+decimate evaluated only at
     output points (output k = j*P + r at input offset j*Q + floor(r*Q/P))
     as P blocked MXU matmuls (tpudsp/kernels/decimate.py)."""
@@ -210,7 +227,7 @@ def am_step_fused(params: AMParams, state: AMState, iq, *, cfg: AMConfig,
     y48 = jnp.stack([yp[r] for r in range(P)], axis=1).reshape(-1).astype(jnp.complex64)
     rs_tail_full = jnp.concatenate([state.rs_tail, iq])[-state.rs_tail.shape[0]:]
     agc_state, am_state, d_state, pcm, modes = _back_end(
-        params, state, y48, cfg, exact)
+        params, state, y48, cfg, exact, backend)
     new_state = AMState(state.fir_tail, rs_tail_full, agc_state, am_state, d_state)
     return new_state, (pcm, modes)
 
@@ -220,10 +237,11 @@ class AMReceiver:
 
     plan='fused' | 'composed'; exact=True uses the exact sequential
     AGC/PLL scans (for verification), exact=False the chunk-parallel ones
-    (throughput; default)."""
+    (throughput; default). backend='pallas' fuses the whole feedback core
+    into one VMEM kernel (pallas/am_backend_scan.py)."""
 
     def __init__(self, cfg: AMConfig = AMConfig(), block_len: int = 1_000_000,
-                 plan: str = "fused", exact: bool = False):
+                 plan: str = "fused", exact: bool = False, backend: str = "xla"):
         if plan == "fused" and _rational(cfg.rate) is None:
             plan = "composed"
         self.cfg = cfg
@@ -231,7 +249,7 @@ class AMReceiver:
         self.plan = plan
         self.params, self.state, self.n_out = build(cfg, self.block_len)
         step = am_step_fused if plan == "fused" else am_step_composed
-        self._step = jax.jit(partial(step, cfg=cfg, exact=exact))
+        self._step = jax.jit(partial(step, cfg=cfg, exact=exact, backend=backend))
 
     def __call__(self, iq):
         iq = jnp.asarray(iq, jnp.complex64)

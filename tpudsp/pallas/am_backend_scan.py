@@ -1,0 +1,184 @@
+"""Pallas TPU kernel: fused AM-chain back end.
+
+The back end's FEEDBACK core (AGC gain loop + squelch FSM + carrier PLL,
+kernels/am_backend.py front_sample_step) runs as one warmup+main scan per
+lane tile -- chunks on the 128 vector lanes, time steps sequential, all
+six feedback-state vectors resident in VMEM for the whole loop. The two
+LINEAR stages (DC tracker, de-emphasis) deliberately stay OUTSIDE the
+kernel: they are first-order filters of the kernel's vr output with no
+feedback into the loop, and the DC tracker's ~2000-sample memory exceeds
+any practical warmup window -- as exact block-parallel associative scans
+they cost nothing and carry their state exactly. (A fully-fused variant
+was measured at only ~2 dB against the exact reference for precisely this
+reason; this split restores >60 dB.)
+
+This replaces the chain's two separate chunked scans (AGC, PLL) with one
+pass and no HBM intermediates -- the "fused chain scan" of SURVEY.md
+section 7's pallas/ plan. Equivalence is pinned against
+kernels/am_backend.am_backend_exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..kernels import agc as kagc
+from ..kernels.am_backend import (
+    AmBackendParams, AmBackendState, FrontState, front_exact,
+    front_sample_step, linear_tail,
+)
+from ..kernels.agc import AgcState
+from ..kernels.pll import PllState
+
+LANES = 128
+
+
+def _make_kernel(params: AmBackendParams):
+    """The params argument only shapes the pytree; all values reach the
+    kernel as traced operands through the scal SMEM ref."""
+
+    def kernel(scal_ref, wre_ref, wim_ref, wval_ref, xre_ref, xim_ref,
+               g0, y2p0, mode0, timer0, th0, fr0,
+               vr_ref, modes_ref, gN, y2pN, modeN, timerN, thN, frN):
+        p = AmBackendParams(
+            agc=kagc.AgcParams(
+                alpha=scal_ref[0], locked=scal_ref[1] > 0.5,
+                squelch=scal_ref[2] > 0.5, threshold=scal_ref[3],
+                timeout=scal_ref[4].astype(jnp.int32), scale=scal_ref[5]),
+            pll_alpha=scal_ref[6], pll_beta=scal_ref[7],
+            use_pll=scal_ref[8], dc_rho=scal_ref[9], use_dc=scal_ref[10],
+            inv_mod=scal_ref[11], deemph_b0=scal_ref[12], deemph_a=scal_ref[13],
+        )
+        W = wre_ref.shape[0]
+        S = xre_ref.shape[0]
+
+        def warm_body(t, st):
+            xr = wre_ref[t, :][None, :]
+            xi = wim_ref[t, :][None, :]
+            v = wval_ref[t, :][None, :] > 0
+            st2, _ = front_sample_step(p, st, xr, xi)
+            return jax.tree.map(lambda a2, b2: jnp.where(v, a2, b2), st2, st)
+
+        st = FrontState(AgcState(g0[...], y2p0[...], mode0[...], timer0[...]),
+                        PllState(th0[...], fr0[...]))
+        st = jax.lax.fori_loop(0, W, warm_body, st)
+
+        def main_body(t, st):
+            xr = xre_ref[t, :][None, :]
+            xi = xim_ref[t, :][None, :]
+            st2, (vr, mode) = front_sample_step(p, st, xr, xi)
+            vr_ref[t, :] = vr[0, :]
+            modes_ref[t, :] = mode[0, :]
+            return st2
+
+        st = jax.lax.fori_loop(0, S, main_body, st)
+        gN[...] = st.agc.g
+        y2pN[...] = st.agc.y2p
+        modeN[...] = st.agc.sq_mode
+        timerN[...] = st.agc.sq_timer
+        thN[...] = st.pll.theta
+        frN[...] = st.pll.freq
+
+    return kernel
+
+
+def am_backend_chunked_pallas(params: AmBackendParams, state: AmBackendState,
+                              x, chunk: int = 1024, warmup: int = 4096,
+                              interpret: bool = False):
+    """Fused back end over a 1-D complex block. Feedback core in the
+    Pallas kernel (chunk-warmup scheme as kernels/agc.agc_apply_chunked);
+    DC tracker + de-emphasis applied exactly afterwards.
+    Returns (state, (pcm, modes))."""
+    from ..kernels.am_backend import am_backend_exact
+    n = x.shape[0]
+    if n <= chunk + warmup:
+        return am_backend_exact(params, state, x)
+    nchunks = -(-n // chunk)
+    nlanes = -(-nchunks // LANES) * LANES
+    pad = nchunks * chunk - n
+    xp = jnp.pad(x, (0, pad + (nlanes - nchunks) * chunk))
+    xc = xp.reshape(nlanes, chunk).T
+    wpad = jnp.concatenate([jnp.zeros((warmup,), x.dtype), xp])
+    vpad = jnp.concatenate([
+        jnp.zeros((warmup,), jnp.int32),
+        jnp.ones((nchunks * chunk,), jnp.int32),
+        jnp.zeros(((nlanes - nchunks) * chunk,), jnp.int32),
+    ])
+    starts = jnp.arange(nlanes) * chunk
+    widx = starts[None, :] + jnp.arange(warmup)[:, None]
+    wwin = wpad[widx]
+    wval = vpad[widx]
+
+    scal = jnp.stack([
+        params.agc.alpha, params.agc.locked.astype(jnp.float32),
+        params.agc.squelch.astype(jnp.float32), params.agc.threshold,
+        params.agc.timeout.astype(jnp.float32), params.agc.scale,
+        params.pll_alpha, params.pll_beta, params.use_pll,
+        params.dc_rho, params.use_dc, params.inv_mod,
+        params.deemph_b0, params.deemph_a,
+    ])
+
+    def bvec(v, dtype):
+        return jnp.broadcast_to(jnp.asarray(v, dtype), (1, nlanes))
+
+    init_vecs = [
+        bvec(state.agc.g, jnp.float32), bvec(state.agc.y2p, jnp.float32),
+        bvec(state.agc.sq_mode, jnp.int32), bvec(state.agc.sq_timer, jnp.int32),
+        bvec(state.pll.theta, jnp.float32), bvec(state.pll.freq, jnp.float32),
+    ]
+
+    grid = (nlanes // LANES,)
+    col = lambda i: (0, i)
+    mat = lambda shape: pl.BlockSpec(shape, col, memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((chunk, nlanes), jnp.float32),   # vr
+        jax.ShapeDtypeStruct((chunk, nlanes), jnp.int32),     # modes
+        jax.ShapeDtypeStruct((1, nlanes), jnp.float32),       # g
+        jax.ShapeDtypeStruct((1, nlanes), jnp.float32),       # y2p
+        jax.ShapeDtypeStruct((1, nlanes), jnp.int32),         # mode
+        jax.ShapeDtypeStruct((1, nlanes), jnp.int32),         # timer
+        jax.ShapeDtypeStruct((1, nlanes), jnp.float32),       # theta
+        jax.ShapeDtypeStruct((1, nlanes), jnp.float32),       # freq
+    )
+    res = pl.pallas_call(
+        _make_kernel(params),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  mat((warmup, LANES)), mat((warmup, LANES)),
+                  mat((warmup, LANES)),
+                  mat((chunk, LANES)), mat((chunk, LANES)),
+                  vec, vec, vec, vec, vec, vec],
+        out_specs=(mat((chunk, LANES)), mat((chunk, LANES)),
+                   vec, vec, vec, vec, vec, vec),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(scal, wwin.real.astype(jnp.float32), wwin.imag.astype(jnp.float32),
+      wval, xc.real.astype(jnp.float32), xc.imag.astype(jnp.float32),
+      *init_vecs)
+    vr_t, modes_t = res[0], res[1]
+    gN, y2pN, modeN, timerN, thN, frN = res[2:]
+    vr = vr_t.T.reshape(-1)[:n]
+    modes = modes_t.T.reshape(-1)[:n].astype(jnp.int32)
+
+    last = nchunks - 1
+    front = FrontState(
+        agc=AgcState(gN[0, last], y2pN[0, last], modeN[0, last], timerN[0, last]),
+        pll=PllState(thN[0, last], frN[0, last]))
+    if pad:
+        prev = last - 1
+        st0 = FrontState(
+            agc=AgcState(gN[0, prev], y2pN[0, prev], modeN[0, prev],
+                         timerN[0, prev]),
+            pll=PllState(thN[0, prev], frN[0, prev]))
+        front, _ = front_exact(params, st0, x[last * chunk:])
+
+    # exact linear tail: DC tracker + de-emphasis as associative scans
+    (dc_last, de_last), pcm = linear_tail(params, state.dc, state.deemph, vr)
+    new_state = AmBackendState(agc=front.agc, pll=front.pll,
+                               dc=dc_last, deemph=de_last)
+    return new_state, (pcm, modes)
