@@ -109,6 +109,28 @@ def _impl(platform: str):
     sps = block / t_step
     log(f"am_chain fused [{dev.platform}]: {t_step*1e3:.2f} ms/block "
         f"-> {sps/1e9:.3f} Gsamp/s")
+
+    # pallas fused back end variant: report whichever is faster as the metric
+    try:
+        step_p = jax.jit(partial(am_step_fused, cfg=cfg, exact=False,
+                                 backend="pallas"))
+
+        def run_p(p, s, x):
+            return step_p(p, s, x)[1][0]
+
+        for _ in range(2):
+            jax.block_until_ready(run_p(params, state, iq_j))
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = run_p(params, state, iq_j)
+        jax.block_until_ready(out)
+        t_p = (time.perf_counter() - t0) / n_iter
+        log(f"am_chain fused+pallas-backend: {t_p*1e3:.2f} ms/block "
+            f"-> {block/t_p/1e9:.3f} Gsamp/s")
+        if t_p < t_step:
+            t_step, sps = t_p, block / t_p
+    except Exception as e:
+        log(f"pallas-backend bench skipped: {type(e).__name__}: {e}")
     if "--all" in sys.argv:
         try:
             _bench_secondary(log)

@@ -77,7 +77,8 @@ def init_state() -> AmBackendState:
                           dc=jnp.float32(0.0), deemph=jnp.float32(0.0))
 
 
-def sample_step(p: AmBackendParams, st: AmBackendState, xr, xi):
+def sample_step(p: AmBackendParams, st: AmBackendState, xr, xi,
+                atan2=jnp.arctan2):
     """One combined step on real/imag parts (works on scalars or lanes)."""
     g, y2p, mode, timer = st.agc
     theta, freq = st.pll
@@ -98,7 +99,7 @@ def sample_step(p: AmBackendParams, st: AmBackendState, xr, xi):
     s = jnp.sin(theta)
     vr = outr * c + outi * s          # Re(out * e^{-j theta})
     vi = outi * c - outr * s
-    err = jnp.arctan2(vi, vr) * p.use_pll
+    err = atan2(vi, vr) * p.use_pll
     freq = freq + p.pll_alpha * err
     theta_n = theta + p.pll_beta * err + freq
     theta = jnp.mod(theta_n + np.pi, 2.0 * np.pi) - np.pi
@@ -128,7 +129,8 @@ class FrontState(NamedTuple):
     pll: PllState
 
 
-def front_sample_step(p: AmBackendParams, st: FrontState, xr, xi):
+def front_sample_step(p: AmBackendParams, st: FrontState, xr, xi,
+                      atan2=jnp.arctan2):
     """The FEEDBACK part only (AGC + carrier PLL) -> per-sample vr = Re(v).
 
     The DC tracker and de-emphasis are linear filters of vr with no
@@ -155,7 +157,7 @@ def front_sample_step(p: AmBackendParams, st: FrontState, xr, xi):
     s = jnp.sin(theta)
     vr = outr * c + outi * s
     vi = outi * c - outr * s
-    err = jnp.arctan2(vi, vr) * p.use_pll
+    err = atan2(vi, vr) * p.use_pll
     freq = freq + p.pll_alpha * err
     theta = jnp.mod(theta + p.pll_beta * err + freq + np.pi, 2.0 * np.pi) - np.pi
     return FrontState(AgcState(g, y2p, mode, timer), PllState(theta, freq)), (vr, mode)

@@ -33,6 +33,7 @@ from ..kernels.am_backend import (
 )
 from ..kernels.agc import AgcState
 from ..kernels.pll import PllState
+from .math import patan2
 
 LANES = 128
 
@@ -60,7 +61,7 @@ def _make_kernel(params: AmBackendParams):
             xr = wre_ref[t, :][None, :]
             xi = wim_ref[t, :][None, :]
             v = wval_ref[t, :][None, :] > 0
-            st2, _ = front_sample_step(p, st, xr, xi)
+            st2, _ = front_sample_step(p, st, xr, xi, atan2=patan2)
             return jax.tree.map(lambda a2, b2: jnp.where(v, a2, b2), st2, st)
 
         st = FrontState(AgcState(g0[...], y2p0[...], mode0[...], timer0[...]),
@@ -70,7 +71,7 @@ def _make_kernel(params: AmBackendParams):
         def main_body(t, st):
             xr = xre_ref[t, :][None, :]
             xi = xim_ref[t, :][None, :]
-            st2, (vr, mode) = front_sample_step(p, st, xr, xi)
+            st2, (vr, mode) = front_sample_step(p, st, xr, xi, atan2=patan2)
             vr_ref[t, :] = vr[0, :]
             modes_ref[t, :] = mode[0, :]
             return st2
