@@ -84,7 +84,9 @@ def _impl(platform: str):
     log(f"device: {dev.device_kind} ({dev.platform})")
 
     cfg = AMConfig()
-    block = 4_000_000  # 2 s of IQ at 2 Msps; block*rate = 96000 outputs
+    # 8 s of IQ at 2 Msps (128 MB on device; block*rate = 384000 outputs):
+    # large blocks amortize dispatch until the chain is HBM-bandwidth-bound
+    block = 16_000_000
     params, state, n_out = build(cfg, block)
 
     t = np.arange(block)

@@ -42,7 +42,7 @@ def _make_kernel(params: AmBackendParams):
     """The params argument only shapes the pytree; all values reach the
     kernel as traced operands through the scal SMEM ref."""
 
-    def kernel(scal_ref, wre_ref, wim_ref, wval_ref, xre_ref, xim_ref,
+    def kernel(scal_ref, wre_ref, wim_ref, xre_ref, xim_ref,
                g0, y2p0, mode0, timer0, th0, fr0,
                vr_ref, modes_ref, gN, y2pN, modeN, timerN, thN, frN):
         p = AmBackendParams(
@@ -56,11 +56,20 @@ def _make_kernel(params: AmBackendParams):
         )
         W = wre_ref.shape[0]
         S = xre_ref.shape[0]
+        # warmup validity is a prefix property: lane l (global chunk index
+        # i*LANES + l) has min(W, chunk_index*S) real history samples, i.e.
+        # warmup step t is valid iff t >= W - valid_count[l]. Deriving it
+        # here saves a whole (W, LANES) operand (and its double buffer) of
+        # VMEM -- the difference between fitting 16M-sample blocks or not.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        chunk_idx = pl.program_id(0) * LANES + lane
+        valid_count = jnp.minimum(W, chunk_idx * S)
+        t_start = W - valid_count  # (1, LANES)
 
         def warm_body(t, st):
             xr = wre_ref[t, :][None, :]
             xi = wim_ref[t, :][None, :]
-            v = wval_ref[t, :][None, :] > 0
+            v = t >= t_start
             st2, _ = front_sample_step(p, st, xr, xi, atan2=patan2)
             return jax.tree.map(lambda a2, b2: jnp.where(v, a2, b2), st2, st)
 
@@ -104,15 +113,9 @@ def am_backend_chunked_pallas(params: AmBackendParams, state: AmBackendState,
     xp = jnp.pad(x, (0, pad + (nlanes - nchunks) * chunk))
     xc = xp.reshape(nlanes, chunk).T
     wpad = jnp.concatenate([jnp.zeros((warmup,), x.dtype), xp])
-    vpad = jnp.concatenate([
-        jnp.zeros((warmup,), jnp.int32),
-        jnp.ones((nchunks * chunk,), jnp.int32),
-        jnp.zeros(((nlanes - nchunks) * chunk,), jnp.int32),
-    ])
     starts = jnp.arange(nlanes) * chunk
     widx = starts[None, :] + jnp.arange(warmup)[:, None]
     wwin = wpad[widx]
-    wval = vpad[widx]
 
     scal = jnp.stack([
         params.agc.alpha, params.agc.locked.astype(jnp.float32),
@@ -151,7 +154,6 @@ def am_backend_chunked_pallas(params: AmBackendParams, state: AmBackendState,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   mat((warmup, LANES)), mat((warmup, LANES)),
-                  mat((warmup, LANES)),
                   mat((chunk, LANES)), mat((chunk, LANES)),
                   vec, vec, vec, vec, vec, vec],
         out_specs=(mat((chunk, LANES)), mat((chunk, LANES)),
@@ -159,7 +161,7 @@ def am_backend_chunked_pallas(params: AmBackendParams, state: AmBackendState,
         out_shape=out_shapes,
         interpret=interpret,
     )(scal, wwin.real.astype(jnp.float32), wwin.imag.astype(jnp.float32),
-      wval, xc.real.astype(jnp.float32), xc.imag.astype(jnp.float32),
+      xc.real.astype(jnp.float32), xc.imag.astype(jnp.float32),
       *init_vecs)
     vr_t, modes_t = res[0], res[1]
     gN, y2pN, modeN, timerN, thN, frN = res[2:]
