@@ -168,3 +168,36 @@ def test_wbfm_stereo_receiver():
     # stronger in its own channel than in the other by >= 10 dB
     assert 20 * np.log10(pk(specL, i9) / pk(specR, i9)) > 10.0
     assert 20 * np.log10(pk(specR, i25) / pk(specL, i25)) > 10.0
+
+
+def test_ssb_receiver_chain():
+    """SSB chain (chains/ssb.py): a USB voice-band signal at 2 Msps comes
+    out as audio; the opposite-sideband receiver rejects it."""
+    from tpudsp.chains import SSBConfig, SSBReceiver
+    import scipy.signal as sig
+    iq_rate = 2_000_000.0
+    n = 1_000_000
+    t = np.arange(n)
+    # message inside the 3 kHz voice band (at the audio rate)
+    m = np.sin(2 * np.pi * 800.0 / iq_rate * t) + \
+        0.5 * np.sin(2 * np.pi * 1900.0 / iq_rate * t)
+    a = sig.hilbert(m)                       # analytic: USB-only spectrum
+    iq = (0.3 * a / 2).astype(np.complex64)
+    rx = SSBReceiver(SSBConfig(band="usb"), block_len=n)
+    audio = np.asarray(rx(iq))
+    assert audio.shape == (rx.n_out,)
+    tail = audio[len(audio) // 2:]
+    spec = np.abs(np.fft.rfft(tail * np.hanning(len(tail))))
+    freqs = np.fft.rfftfreq(len(tail), 1 / 48000.0)
+    i800 = np.argmin(np.abs(freqs - 800.0))
+    i1900 = np.argmin(np.abs(freqs - 1900.0))
+    pk = lambda i: spec[i - 3:i + 4].max()
+    noise_floor = np.median(spec[(freqs > 4000) & (freqs < 20000)])
+    assert pk(i800) > 30 * noise_floor
+    assert pk(i1900) > 10 * noise_floor
+    # the LSB receiver rejects the USB signal
+    rx2 = SSBReceiver(SSBConfig(band="lsb"), block_len=n)
+    audio2 = np.asarray(rx2(iq))
+    p_usb = np.mean(tail ** 2)
+    p_lsb = np.mean(audio2[len(audio2) // 2:] ** 2)
+    assert 10 * np.log10(p_usb / p_lsb) > 30.0

@@ -15,6 +15,7 @@ Drop-in usage (matching the reference's README example):
 
 from .ops import *  # noqa: F401,F403
 from .ops import __all__ as _ops_all
+from . import chains, design, io, kernels, parallel, utils  # noqa: F401
 
 __all__ = list(_ops_all)
 __version__ = "0.1.0"

@@ -7,11 +7,13 @@ from .bank import BankConfig, ReceiverBank, bank_step, build as bank_build
 from .channelizer import (
     ChannelizedBank, ChannelizedBankConfig, Channelizer, ChannelizerConfig,
 )
+from .ssb import SSBConfig, SSBReceiver
 from .wbfm import WBFMStereoReceiver, mono_receiver
 
 __all__ = [
     "AMConfig", "AMReceiver", "am_step_composed", "am_step_fused", "am_build",
     "BankConfig", "ReceiverBank", "bank_step", "bank_build",
     "ChannelizedBank", "ChannelizedBankConfig", "Channelizer",
-    "ChannelizerConfig", "WBFMStereoReceiver", "mono_receiver",
+    "ChannelizerConfig", "SSBConfig", "SSBReceiver", "WBFMStereoReceiver",
+    "mono_receiver",
 ]

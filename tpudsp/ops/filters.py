@@ -29,8 +29,11 @@ _fir_apply = jax.jit(partial(kfir.fir_apply, method="auto"))
 _first_order = jax.jit(kiir.first_order_apply)
 
 # truncated-IR execution is used when the impulse response fits in this many
-# taps (else associative-scan recurrence)
-TIR_MAX_TAPS = 16384
+# taps (else associative-scan recurrence). 64k taps is still cheap as an
+# overlap-save FFT (131072-point FFTs), and it pushes the scan fallback --
+# whose f32 associative scan sits near the precision floor for near-unit
+# poles -- out to filters with multi-second impulse responses.
+TIR_MAX_TAPS = 65536
 
 
 class _SosFilterBase(StatefulOp):
