@@ -46,13 +46,13 @@ def measure(n_time: int, nchan: int, block: int, iters: int = 5):
 def main():
     import jax
     nchan = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    block = 1 << (int(sys.argv[2]) if len(sys.argv) > 2 else 20)
-    block -= block % (50 * len(jax.devices()))  # divisibility for all N
+    block0 = 1 << (int(sys.argv[2]) if len(sys.argv) > 2 else 20)
     ndev = len(jax.devices())
     print(f"devices: {ndev} x {jax.devices()[0].device_kind}")
     base = None
     n = 1
     while n <= ndev:
+        block = block0 - block0 % (50 * n)  # per-N divisibility
         sps = measure(n, nchan, block)
         if base is None:
             base = sps

@@ -114,29 +114,14 @@ def build(cfg: AMConfig, block_len: int):
     _, q, frac, _ = krs.plan(0.0, block_len, rate)
     assert len(q) == n_out
 
-    # fused taps: bandpass TIR folded into each needed polyphase row.
-    # With rational rate P/Q there are exactly P distinct fractional phases.
-    # The bank rows apply correlation-style (window dot row, see
-    # kernels/resamp.py), so the combined correlation taps are
-    # d = conv(bank_row, reverse(h_bp)); the window for output k = j*P + r
-    # starts at X index q_k = j*Q + floor(r*Q/P) with a (len(h_bp)+2m-1)-
-    # sample carried tail -- exactly the composed chain's alignment (the
-    # fused==composed equivalence test pins this down).
+    # fused taps: bandpass TIR folded into each needed polyphase row
+    # (kernels/decimate.py plan_fused_frontend documents the alignment;
+    # the fused==composed equivalence test pins it down)
     taps_fused = np.zeros((1, 1, 1), np.float32)
     pq = _rational(rate)
     if pq is not None:
         P, Q = pq
-        npfb = cfg.resamp_npfb
-        rows = []
-        for r in range(P):
-            f_r = (r * Q / P) % 1.0
-            fb = f_r * npfb
-            b = int(np.floor(fb))
-            w = fb - b
-            bank = (1 - w) * H[b] + w * H[b + 1]
-            rows.append(np.convolve(bank, h_bp[::-1]))
-        taps_fused = kdec.plan_phase_taps(
-            np.stack(rows).astype(np.float32), Q)  # (P, Kc, Q)
+        taps_fused, _, _ = kdec.plan_fused_frontend(H, h_bp, P, Q)
 
     params = AMParams(
         h_bp=jnp.asarray(h_bp, jnp.float32),
@@ -169,7 +154,12 @@ def _back_end(params: AMParams, state: AMState, baseband, cfg: AMConfig, exact: 
     backend='pallas' routes the feedback core through the single fused
     VMEM kernel (tpudsp/pallas/am_backend_scan.py) instead of the two
     separate XLA chunked scans; only valid with exact=False."""
-    if backend == "pallas" and not exact:
+    if backend not in ("xla", "pallas"):
+        raise ValueError(f"unknown backend {backend!r} (use 'xla' or 'pallas')")
+    if backend == "pallas" and exact:
+        raise ValueError("backend='pallas' requires exact=False "
+                         "(the fused kernel is the chunked path)")
+    if backend == "pallas":
         from ..kernels import am_backend as kab
         from ..pallas import enabled
         from ..pallas.am_backend_scan import am_backend_chunked_pallas
@@ -212,20 +202,13 @@ def am_step_fused(params: AMParams, state: AMState, iq, *, cfg: AMConfig,
     output points (output k = j*P + r at input offset j*Q + floor(r*Q/P))
     as P blocked MXU matmuls (tpudsp/kernels/decimate.py)."""
     P, Q = _rational(cfg.rate)
-    Kc = params.taps_fused.shape[1]
-    kf = state.rs_tail.shape[0]
     n_out = params.q.shape[0]
     nj = n_out // P
     offsets = [(r * Q) // P for r in range(P)]
-    # pad so every phase's (nj+Kc-1)*Q window is in bounds; padded indices
-    # only ever multiply the zero-padding of the blocked taps
-    X = jnp.concatenate([
-        state.rs_tail[-kf:], iq,
-        jnp.zeros(((Kc + 1) * Q,), iq.dtype),
-    ])
-    yp = kdec.strided_fir_matmul(X, params.taps_fused, offsets, Q, nj)
-    y48 = jnp.stack([yp[r] for r in range(P)], axis=1).reshape(-1).astype(jnp.complex64)
-    rs_tail_full = jnp.concatenate([state.rs_tail, iq])[-state.rs_tail.shape[0]:]
+    # the fused filter length kf equals the full rs_tail here (build sizes
+    # it as max(2m, kf) and kf >= 2m always for a TIR bandpass)
+    rs_tail_full, y48 = kdec.fused_frontend_apply(
+        params.taps_fused, state.rs_tail, iq, offsets, Q, nj)
     agc_state, am_state, d_state, pcm, modes = _back_end(
         params, state, y48, cfg, exact, backend)
     new_state = AMState(state.fir_tail, rs_tail_full, agc_state, am_state, d_state)

@@ -108,10 +108,15 @@ def build(cfg: BankConfig):
     h2 = kdec.plan_phase_taps(h2p[None, :].astype(np.float32), cfg.decim2)[0]
     b0, a = iirdes.deemphasis_coeffs(cfg.audio_rate)
     if isinstance(cfg.demod, str):
+        if cfg.demod not in ("fm", "am"):
+            raise ValueError(f"demod must be 'fm' or 'am', got {cfg.demod!r}")
         fm_mask = np.full((C,), cfg.demod == "fm")
     else:
         if len(cfg.demod) != C:
             raise ValueError("per-channel demod tuple must match freqs")
+        bad = [d for d in cfg.demod if d not in ("fm", "am")]
+        if bad:
+            raise ValueError(f"unknown demod type(s) {bad!r} (use 'fm'/'am')")
         fm_mask = np.array([d == "fm" for d in cfg.demod])
     dtheta = np.array(
         [np.uint32(int(round((wc % TWO_PI) / TWO_PI * 2**32)) & 0xFFFFFFFF) for wc in w],

@@ -68,17 +68,7 @@ def build(cfg: SSBConfig, block_len: int):
     h_ch = firdes.kaiser_lowpass(cfg.chan_taps,
                                  max(cfg.bandwidth / cfg.iq_rate, 1e-4), 80.0)
     H = firdes.resamp_bank(cfg.resamp_m, 0.45 * rate, 60.0, cfg.resamp_npfb)
-    npfb = cfg.resamp_npfb
-    rows = []
-    for r in range(P):
-        f_r = (r * Q / P) % 1.0
-        fb = f_r * npfb
-        b = int(np.floor(fb))
-        w = fb - b
-        bank = (1 - w) * H[b] + w * H[b + 1]
-        rows.append(np.convolve(bank, h_ch[::-1]))
-    taps_fused = kdec.plan_phase_taps(np.stack(rows).astype(np.float32), Q)
-    kf = len(h_ch) + 2 * cfg.resamp_m - 1
+    taps_fused, kf, _ = kdec.plan_fused_frontend(H, h_ch, P, Q)
     params = SSBParams(
         taps_fused=jnp.asarray(taps_fused),
         h_hilb=jnp.asarray(firdes.hilbert_fir(cfg.hilb_m, 60.0), jnp.float32),
@@ -96,15 +86,10 @@ def ssb_step(params: SSBParams, state: SSBState, iq, *, cfg: SSBConfig,
              n_out: int, exact: bool = False):
     f = Fraction(cfg.rate).limit_denominator(10000)
     P, Q = f.numerator, f.denominator
-    Kc = params.taps_fused.shape[1]
-    kf = state.rs_tail.shape[0]
     nj = n_out // P
     offsets = [(r * Q) // P for r in range(P)]
-    X = jnp.concatenate([state.rs_tail[-kf:], iq,
-                         jnp.zeros(((Kc + 1) * Q,), iq.dtype)])
-    yp = kdec.strided_fir_matmul(X, params.taps_fused, offsets, Q, nj)
-    y48 = jnp.stack([yp[r] for r in range(P)], axis=1).reshape(-1).astype(jnp.complex64)
-    rs_tail = jnp.concatenate([state.rs_tail, iq])[-kf:]
+    rs_tail, y48 = kdec.fused_frontend_apply(
+        params.taps_fused, state.rs_tail, iq, offsets, Q, nj)
 
     agc_fn = kagc.agc_apply if exact else partial(
         kagc.agc_apply_chunked, chunk=1024, warmup=2048)

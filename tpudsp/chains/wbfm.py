@@ -134,5 +134,7 @@ class WBFMStereoReceiver:
 
     def __call__(self, iq):
         iq = jnp.asarray(iq, jnp.complex64)
+        if iq.shape[0] != self.block_len:
+            raise ValueError(f"expected block of {self.block_len} samples")
         self.state, (L, R) = self._step(self._params, self.state, iq)
         return np.stack([np.asarray(L), np.asarray(R)], axis=1)

@@ -64,6 +64,49 @@ def interleave_phases(y_phases):
     return jnp.stack(y_phases, axis=1).reshape(-1) if y_phases.ndim == 2 else y_phases
 
 
+def plan_fused_frontend(H_bank: np.ndarray, h_lti: np.ndarray, P: int, Q: int):
+    """Fold an LTI filter (taps at the input rate) into the P polyphase
+    rows a rational-rate (P/Q) decimator needs, blocked for the matmul.
+
+    The bank rows apply correlation-style (window dot row, kernels/resamp.py),
+    so the combined correlation taps for phase r are
+    d_r = conv(bank_row_r, reverse(h_lti)); output k = j*P + r reads the
+    window starting at X index j*Q + floor(r*Q/P), where X carries a
+    kf = len(h_lti) + 2m - 1 sample tail (the composed chain's exact
+    alignment -- pinned by the fused==composed equivalence test).
+
+    Returns (taps_blocked (P, Kc, Q) float32, kf, offsets)."""
+    npfb = H_bank.shape[0] - 1
+    rows = []
+    for r in range(P):
+        f_r = (r * Q / P) % 1.0
+        fb = f_r * npfb
+        b = int(np.floor(fb))
+        w = fb - b
+        bank = (1 - w) * H_bank[b] + w * H_bank[b + 1]
+        rows.append(np.convolve(bank, h_lti[::-1]))
+    taps = plan_phase_taps(np.stack(rows).astype(np.float32), Q)
+    kf = len(h_lti) + H_bank.shape[1] - 1
+    offsets = [(r * Q) // P for r in range(P)]
+    return taps, kf, offsets
+
+
+def fused_frontend_apply(taps, tail, iq, offsets, Q: int, nj: int):
+    """Run the fused filter+decimate front end over one block.
+
+    taps: (P, Kc, Q) from plan_fused_frontend; tail: (>=kf,) carried input
+    samples (the last kf are used); iq: (N,) complex64, N = nj * P / rate...
+    i.e. nj outputs per phase. Returns (new_tail, y (nj*P,) complex64 in
+    output order)."""
+    P, Kc, _ = taps.shape
+    kf = tail.shape[0]
+    X = jnp.concatenate([tail, iq, jnp.zeros(((Kc + 1) * Q,), iq.dtype)])
+    yp = strided_fir_matmul(X, taps, offsets, Q, nj)
+    y = jnp.stack([yp[r] for r in range(P)], axis=1).reshape(-1).astype(jnp.complex64)
+    new_tail = jnp.concatenate([tail, iq])[-kf:]
+    return new_tail, y
+
+
 def strided_cfir_matmul(X, Tre, Tim, Q: int, nj: int):
     """Multi-channel complex-taps strided FIR as blocked MXU matmuls
     (the receiver-bank front end: per-channel modulated taps, one shared

@@ -26,12 +26,20 @@ _agc_exact = jax.jit(kagc.agc_apply)
 _agc_chunked = jax.jit(partial(kagc.agc_apply_chunked, chunk=1024, warmup=2048))
 
 
+_agc_pallas_jit_cache = {}
+
+
 def _agc_chunked_pallas(params, state, x):
     from ..pallas import enabled
     from ..pallas.agc_scan import agc_chunked_pallas
-    # compiled natively on TPU; interpret mode elsewhere (same semantics)
-    return agc_chunked_pallas(params, state, x, chunk=1024, warmup=2048,
-                              interpret=not enabled())
+    # compiled natively on TPU; interpret mode elsewhere (same semantics).
+    # jitted (cached per interpret flag) so the host-side pad/reshape work
+    # never runs eagerly on the remote-compile TPU backend.
+    interp = not enabled()
+    if interp not in _agc_pallas_jit_cache:
+        _agc_pallas_jit_cache[interp] = jax.jit(partial(
+            agc_chunked_pallas, chunk=1024, warmup=2048, interpret=interp))
+    return _agc_pallas_jit_cache[interp](params, state, x)
 
 
 class AGC(StatefulOp):

@@ -65,9 +65,14 @@ class ElasticRunner:
         try:
             out = self.chain(block)
         except Exception:
-            # failed step: rebuild the runtime and replay from the snapshot
+            # failed step: rebuild the runtime and restore the newest
+            # snapshot (or fresh state if none exists yet), then re-raise
+            # the ORIGINAL error; the caller replays from self.block_index
             self.chain = self._factory()
-            self.resume()
+            if os.path.exists(self._path + ".npz"):
+                self.resume()
+            else:
+                self.block_index = 0
             raise
         self.block_index += 1
         if self.block_index % self._every == 0:
