@@ -8,10 +8,17 @@ ShardedBank/ShardedScanner ride on a real pod slice. Skipped gracefully
 if the runtime refuses local multi-process init."""
 
 import os
+import socket
 import subprocess
 import sys
 
 import pytest
+
+
+def _free_port() -> str:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return str(s.getsockname()[1])
 
 _WORKER = r"""
 import os, sys
@@ -99,7 +106,7 @@ def test_two_process_sharded_scanner(tmp_path):
     runs on a global 8-device mesh spanning both, with the boundary
     exchange crossing the process boundary, and matches the single-chip
     bank on every process's addressable shards."""
-    port = "52417"
+    port = _free_port()
     script = tmp_path / "scanner_worker.py"
     script.write_text(_SCANNER_WORKER)
     env = dict(os.environ)
@@ -129,7 +136,7 @@ def test_two_process_sharded_scanner(tmp_path):
 @pytest.mark.skipif(os.environ.get("TPUDSP_SKIP_MULTIPROC") == "1",
                     reason="multi-process test disabled")
 def test_two_process_distributed_psum(tmp_path):
-    port = "52345"
+    port = _free_port()
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
     env = dict(os.environ)
