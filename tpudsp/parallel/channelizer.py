@@ -1,0 +1,294 @@
+"""TP-sharded polyphase FFT channelizer: the C-point channel transform is
+split ACROSS devices as a transpose-based two-stage distributed FFT
+(SURVEY.md section 2.3 row "TP": intra-op parallelism of the channelizer
+filterbank/FFT; the reference has no parallelism of any kind).
+
+Factor C = C1 * C2 and write branch p = p1*C2 + p2, channel c = c2*C1 + c1:
+
+    S[c2*C1 + c1] = sum_p2 e^{2 pi j p2 c2 / C2}
+                      [ e^{2 pi j p2 c1 / C}            (twiddle)
+                        * sum_p1 e^{2 pi j p1 c1 / C1} u[p1*C2 + p2] ]
+
+so the C-point transform becomes: C1-point IFFTs batched over p2, a
+twiddle, a transpose, then C2-point IFFTs batched over c1 -- the classic
+four-step/transpose FFT, with the transposes as `all_to_all` collectives
+riding ICI. Combined with the time-sharded input this gives ONE mesh axis
+playing both roles:
+
+  1. input x time-sharded: each device frames its slice and runs the
+     polyphase weighted-sum front end locally (frame halo = one ppermute,
+     same scheme as parallel/bank.py);
+  2. all_to_all #1 (frames -> p2 shards): split the p2 axis, gather frames;
+  3. local stage-1 IFFT over p1 (+ twiddle with the *global* p2 index);
+  4. all_to_all #2 (p2 shards -> c1 shards): split c1, gather p2;
+  5. local stage-2 IFFT over p2: output Y[m, c1_loc, c2] -- the channel
+     axis ends up sharded over c1, exactly what a per-channel demod bank
+     wants (zero further communication).
+
+Channel c lives at layout position [c1, c2] with c1 = c % C1, c2 = c // C1
+(`channel_layout` maps between orders). A (1-device) mesh reproduces
+chains/channelizer.py exactly (tested, tests/test_tp_channelizer.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..chains.channelizer import (
+    ChannelizerConfig, ChannelizedBankConfig, build as ch_build)
+from ..design import iirdes
+from .halo import left_halo
+
+TWO_PI = 2.0 * np.pi
+
+
+def channel_layout(C1: int, C2: int):
+    """Map (c1, c2) layout order -> natural channel order.
+
+    Returns ``perm`` with ``perm[i] = c2*C1 + c1`` for layout position
+    ``i = c1*C2 + c2``: scatter ``Y_nat[:, perm] = Y_layout.reshape(M, C)``
+    recovers natural channel order.
+    """
+    c1 = np.repeat(np.arange(C1), C2)
+    c2 = np.tile(np.arange(C2), C1)
+    return c2 * C1 + c1
+
+
+def _factor(C: int, n_shards: int, c1: int | None):
+    if c1 is None:
+        # smallest C1 that keeps both stage batches shardable
+        c1 = n_shards
+        while C % c1 or (C // c1) % n_shards:
+            c1 += n_shards
+            if c1 > C:
+                raise ValueError(f"cannot factor C={C} over {n_shards} shards")
+    C1, C2 = c1, C // c1
+    if C1 * C2 != C or C1 % n_shards or C2 % n_shards:
+        raise ValueError(
+            f"need C1*C2={C} with C1, C2 both multiples of {n_shards}; "
+            f"got C1={C1}, C2={C2}")
+    return C1, C2
+
+
+def _frontend_local(Ht, halo_tail, x_loc):
+    """Polyphase weighted-sum front end on this shard's time slice.
+    halo_tail: ((T-1)*C + C-1,) samples preceding x_loc in the stream.
+    Returns u_loc (M_loc, C): branch p of frames owned by this shard."""
+    T, C = Ht.shape
+    M_loc = x_loc.shape[0] // C
+    xfull = jnp.concatenate([halo_tail, x_loc])
+    M_all = M_loc + T - 1
+    V = xfull[: M_all * C].reshape(M_all, C)[:, ::-1]
+    u = jnp.zeros((M_loc, C), jnp.complex64)
+    for t in range(T):
+        u = u + Ht[t][None, :] * lax.dynamic_slice_in_dim(
+            V, T - 1 - t, M_loc, axis=0)
+    return u
+
+
+def tp_channelize_shard(Ht, tw, tail, x_loc, *, C1: int, C2: int,
+                        axis_name: str):
+    """Per-shard body (under shard_map over ``axis_name``).
+
+    Ht: (T, C) prototype branches (replicated); tw: (C1, C2//n) local
+    twiddle slice e^{2 pi j c1 p2 / C} at this shard's global p2 block;
+    tail: (htail,) carried stream tail (replicated; consumed by shard 0);
+    x_loc: (N/n,) local time slice. Returns (tail_out (1, htail),
+    Y_loc (M, C1//n, C2)) -- channel axis sharded over c1.
+    """
+    T, C = Ht.shape
+    htail = (T - 1) * C + C - 1
+    n_shards = lax.axis_size(axis_name)
+    halo = left_halo(x_loc, htail, axis_name, tail)
+    u = _frontend_local(Ht, halo, x_loc)                  # (M_loc, C)
+    M_loc = u.shape[0]
+    u = u.reshape(M_loc, C1, C2)
+    # transpose 1: frame shards -> p2 shards
+    u = lax.all_to_all(u, axis_name, split_axis=2, concat_axis=0, tiled=True)
+    # stage 1: C1-point transform over p1, batched over (m, p2_loc)
+    A = (jnp.fft.ifft(u, axis=1) * C1).astype(jnp.complex64)
+    A = A * tw[None, :, :]
+    # transpose 2: p2 shards -> c1 shards
+    A = lax.all_to_all(A, axis_name, split_axis=1, concat_axis=2, tiled=True)
+    # stage 2: C2-point transform over p2, batched over (m, c1_loc)
+    Y = (jnp.fft.ifft(A, axis=2) * C2).astype(jnp.complex64)
+    # next block's tail: last htail samples of the LAST shard's slice
+    tail_out = jnp.concatenate([halo, x_loc])[-htail:]
+    return tail_out[None, :], Y
+
+
+class ShardedChannelizer:
+    """Analysis channelizer with the channel transform sharded over a
+    1-D mesh axis (TP analog). Input blocks are time-sharded; output
+    channel matrices are channel-sharded in (c1, c2) layout order.
+
+    ``__call__`` returns the (M, C) channel matrix in NATURAL channel
+    order (host-side gather; use ``step_fn``/``layout_perm`` to stay in
+    the sharded layout for zero-copy chaining into a demod bank).
+    """
+
+    def __init__(self, cfg: ChannelizerConfig, mesh: Mesh,
+                 block_len: int, axis_name: str | None = None,
+                 c1: int | None = None):
+        if axis_name is None:
+            axis_name = mesh.axis_names[0]
+        n = mesh.shape[axis_name]
+        C = cfg.nchan
+        if block_len % (C * n):
+            raise ValueError(f"block_len must be a multiple of {C * n}")
+        if block_len // n < cfg.taps_per_branch * C:
+            raise ValueError(
+                "per-shard slice must cover the frame halo: need "
+                f"block_len >= {cfg.taps_per_branch * C * n}")
+        self.cfg = cfg
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.block_len = block_len
+        self.C1, self.C2 = _factor(C, n, c1)
+        self.layout_perm = channel_layout(self.C1, self.C2)
+        self.Ht, st = ch_build(cfg)
+        self.tail = st.tail
+        c1g = np.arange(self.C1)[:, None]
+        p2g = np.arange(self.C2)[None, :]
+        self.tw = jnp.asarray(
+            np.exp(2j * np.pi * c1g * p2g / C).astype(np.complex64))
+
+        body = partial(tp_channelize_shard, C1=self.C1, C2=self.C2,
+                       axis_name=axis_name)
+        A = axis_name
+        mapped = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(None, A), P(), P(A)),
+            out_specs=(P(A, None), P(None, A, None)),
+            check_vma=False,
+        )
+
+        def step(Ht, tw, tail, x):
+            tails, Y = mapped(Ht, tw, tail, x)
+            return tails[-1], Y
+
+        self._step = jax.jit(step)
+
+    def step_fn(self):
+        """(Ht, tw, tail, x) -> (tail, Y (M, C1, C2) channel-sharded)."""
+        return self._step
+
+    def __call__(self, iq):
+        iq = jax.device_put(
+            jnp.asarray(iq, jnp.complex64),
+            NamedSharding(self.mesh, P(self.axis_name)))
+        self.tail, Y = self._step(self.Ht, self.tw, self.tail, iq)
+        M = Y.shape[0]
+        Yl = np.asarray(Y).reshape(M, self.cfg.nchan)
+        out = np.empty_like(Yl)
+        out[:, self.layout_perm] = Yl
+        return out
+
+
+class TPBankState(NamedTuple):
+    tail: jnp.ndarray      # (htail,) carried stream tail (replicated)
+    fd_prev: jnp.ndarray   # (C1, C2) complex64, layout order, sharded c1
+    deemph: jnp.ndarray    # (C1, C2) float32, layout order, sharded c1
+
+
+def tp_bank_shard(params, state: TPBankState, x_loc, *,
+                  cfg: ChannelizedBankConfig, C1: int, C2: int,
+                  axis_name: str):
+    """Channelize (distributed FFT) + per-channel demod, one shard body.
+    After the second all_to_all the channel axis is sharded, so the whole
+    demod back end (discriminator / envelope + de-emphasis scan) runs with
+    zero further communication. Returns (state-with-axes, audio
+    (C1_loc, C2, M))."""
+    Ht, tw, b0, a = params
+    tail_out, Y = tp_channelize_shard(Ht, tw, state.tail, x_loc,
+                                      C1=C1, C2=C2, axis_name=axis_name)
+    Yc = jnp.transpose(Y, (1, 2, 0))                    # (C1_loc, C2, M)
+    if cfg.demod == "fm":
+        xprev = jnp.concatenate([state.fd_prev[:, :, None], Yc[:, :, :-1]],
+                                axis=2)
+        d = Yc * jnp.conj(xprev)
+        base = jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
+            TWO_PI * cfg.kd)
+    else:
+        base = jnp.abs(Yc).astype(jnp.float32)
+    fd_prev = Yc[:, :, -1]
+    from ..kernels import iir as kiir
+    c_loc = base.shape[0] * base.shape[1]
+    deemph, audio = jax.vmap(
+        lambda y0, xs: kiir.first_order_apply(b0, a, y0, xs)
+    )(state.deemph.reshape(c_loc), base.reshape(c_loc, -1))
+    new_state = TPBankState(
+        tail=tail_out,                                   # (1, htail)
+        fd_prev=fd_prev,
+        deemph=deemph.reshape(base.shape[0], base.shape[1]),
+    )
+    return new_state, audio.reshape(base.shape)
+
+
+class ShardedChannelizedBank:
+    """1024-channel channelize+demod with the channel transform sharded
+    across devices (TP) and the demod bank channel-parallel behind it.
+    A 1-device mesh reproduces chains/channelizer.py's ChannelizedBank
+    exactly (tested)."""
+
+    def __init__(self, cfg: ChannelizedBankConfig, mesh: Mesh,
+                 block_len: int, axis_name: str | None = None,
+                 c1: int | None = None):
+        ccfg = cfg.channelizer
+        sc = ShardedChannelizer(ccfg, mesh, block_len, axis_name, c1)
+        self.cfg = cfg
+        self.mesh = mesh
+        self.axis_name = sc.axis_name
+        self.block_len = block_len
+        self.C1, self.C2 = sc.C1, sc.C2
+        self.layout_perm = sc.layout_perm
+        b0, a = iirdes.deemphasis_coeffs(ccfg.chan_rate, cfg.deemph_tau)
+        self.params = (sc.Ht, sc.tw, jnp.float32(b0), jnp.float32(a))
+        self.state = TPBankState(
+            tail=sc.tail,
+            fd_prev=jnp.full((self.C1, self.C2), 1.0 + 0.0j, jnp.complex64),
+            deemph=jnp.zeros((self.C1, self.C2), jnp.float32),
+        )
+
+        A = self.axis_name
+        body = partial(tp_bank_shard, cfg=cfg, C1=self.C1, C2=self.C2,
+                       axis_name=A)
+        mapped = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=((P(), P(None, A), P(), P()),
+                      TPBankState(tail=P(), fd_prev=P(A, None),
+                                  deemph=P(A, None)),
+                      P(A)),
+            out_specs=(TPBankState(tail=P(A, None), fd_prev=P(A, None),
+                                   deemph=P(A, None)),
+                       P(A, None, None)),
+            check_vma=False,
+        )
+
+        def step(params, state, x):
+            st, audio = mapped(params, state, x)
+            return st._replace(tail=st.tail[-1]), audio
+
+        self._step = jax.jit(step)
+
+    def step_fn(self):
+        """(params, state, x) -> (state, audio (C1, C2, M) c1-sharded)."""
+        return self._step
+
+    def __call__(self, iq):
+        iq = jax.device_put(
+            jnp.asarray(iq, jnp.complex64),
+            NamedSharding(self.mesh, P(self.axis_name)))
+        self.state, audio = self._step(self.params, self.state, iq)
+        al = np.asarray(audio).reshape(self.C1 * self.C2, -1)
+        out = np.empty_like(al)
+        out[self.layout_perm] = al
+        return out
