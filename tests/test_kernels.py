@@ -344,3 +344,22 @@ def test_hilbert_interp_decim_roundtrip():
     d = 2 * m
     ref = x[: n - d]
     assert snr_db(ref, z[d:]) > 50.0
+
+
+def test_strided_cfir_wide_equals_blocked():
+    """The wide single-matmul front end (MXU-filling contraction) must
+    equal the blocked per-phase formulation it replaces."""
+    import jax.numpy as jnp
+    from tpudsp.kernels import decimate as kdec
+
+    rng = np.random.default_rng(7)
+    C, Kc, Q, nj = 5, 13, 10, 400
+    Tre = rng.standard_normal((C, Kc, Q)).astype(np.float32)
+    Tim = rng.standard_normal((C, Kc, Q)).astype(np.float32)
+    L = (nj + Kc - 1) * Q + 3
+    X = (rng.standard_normal(L) + 1j * rng.standard_normal(L)).astype(np.complex64)
+
+    a = np.asarray(kdec.strided_cfir_matmul(jnp.asarray(X), Tre, Tim, Q, nj))
+    b = np.asarray(kdec.strided_cfir_matmul_wide(jnp.asarray(X), Tre, Tim, Q, nj))
+    assert a.shape == b.shape == (C, nj)
+    np.testing.assert_allclose(b, a, rtol=0, atol=2e-4 * np.abs(a).max())

@@ -171,7 +171,8 @@ def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig):
 
     # batched mix+channelize: blocked MXU matmuls -> (C, N/D1) complex
     nj1 = n // D1
-    y1m = kdec.strided_cfir_matmul(X, params.taps_re, params.taps_im, D1, nj1)
+    y1m = kdec.strided_cfir_matmul_wide(
+        X, params.taps_re, params.taps_im, D1, nj1)
     # output rotation: e^{-j w_c (n0 + m D1)} via uint32 phase lattice
     m = jnp.arange(nj1, dtype=jnp.uint32)
     th_u = (state.phase[:, None]

@@ -107,6 +107,41 @@ def fused_frontend_apply(taps, tail, iq, offsets, Q: int, nj: int):
     return new_tail, y
 
 
+def strided_cfir_matmul_wide(X, Tre, Tim, Q: int, nj: int):
+    """Same contract as strided_cfir_matmul, reformulated as ONE wide
+    matmul for MXU utilization.
+
+    The blocked scheme contracts over q (= Q ~ 10) -- a sliver of the
+    128-deep systolic contraction. Here the Kc shifted frame slices are
+    concatenated into explicit windows (im2col from the (M, Q) frame
+    matrix -- no gather), and the complex product is packed into one real
+    matmul:
+
+        W  = [wr | wi]                      (nj, 2*K1)   K1 = Kc*Q
+        TT = [[Tre, Tim], [-Tim, Tre]]      (2*K1, 2*C)
+        [yr | yi] = W @ TT                  (nj, 2*C)
+
+    Contraction depth 2*K1 (256 for the default 128-tap bank) fills the
+    MXU; the window materialization costs Kc x the input bytes, which is
+    far below the blocked scheme's (C, M, Kc) x4 intermediates."""
+    C, Kc, Q_ = Tre.shape
+    K1 = Kc * Q_
+    M = nj + Kc - 1
+    Xm = X[: M * Q_].reshape(M, Q_)
+    xr = Xm.real.astype(jnp.float32)
+    xi = Xm.imag.astype(jnp.float32)
+    wr = jnp.concatenate([xr[c:c + nj] for c in range(Kc)], axis=1)
+    wi = jnp.concatenate([xi[c:c + nj] for c in range(Kc)], axis=1)
+    W = jnp.concatenate([wr, wi], axis=1)              # (nj, 2*K1)
+    Tr = Tre.reshape(C, K1).T
+    Ti = Tim.reshape(C, K1).T
+    TT = jnp.concatenate(
+        [jnp.concatenate([Tr, Ti], axis=1),
+         jnp.concatenate([-Ti, Tr], axis=1)], axis=0)  # (2*K1, 2*C)
+    Y = jnp.dot(W, TT, preferred_element_type=jnp.float32)
+    return (Y[:, :C].T + 1j * Y[:, C:].T).astype(jnp.complex64)
+
+
 def strided_cfir_matmul(X, Tre, Tim, Q: int, nj: int):
     """Multi-channel complex-taps strided FIR as blocked MXU matmuls
     (the receiver-bank front end: per-channel modulated taps, one shared

@@ -92,7 +92,8 @@ def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConf
     X = jnp.concatenate([halo_in, iq])
     from ..kernels import decimate as kdec
     nj1 = n_loc // D1
-    y1m = kdec.strided_cfir_matmul(X, params.taps_re, params.taps_im, D1, nj1)
+    y1m = kdec.strided_cfir_matmul_wide(
+        X, params.taps_re, params.taps_im, D1, nj1)
 
     # rotation with the GLOBAL output index: m_glob = t_idx*n_loc/D1 + m
     m0 = (t_idx.astype(jnp.uint32) * jnp.uint32(nj1))
