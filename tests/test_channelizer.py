@@ -91,3 +91,114 @@ def test_channelized_fm_bank():
         freqs = np.fft.rfftfreq(len(tail), 1.0 / chan_rate)
         peak = freqs[np.argmax(spec[3:]) + 3]
         assert abs(peak - f_msg) < 0.02 * chan_rate, (c, peak, f_msg)
+
+
+def _os2_oracle(h, C, x, M):
+    """Brute-force Y[m,c] = sum_l h[l] x[mR-l] e^{2 pi j c l / C}
+    e^{-2 pi j c m R / C}, R = C/2, x[<0] = 0."""
+    R = C // 2
+    L = len(h)
+    Y = np.zeros((M, C), np.complex128)
+    cs = np.arange(C)
+    for m in range(M):
+        idx = m * R - np.arange(L)
+        xs = np.where(idx >= 0, x[np.maximum(idx, 0)], 0)
+        for c in cs:
+            Y[m, c] = np.sum(h * xs * np.exp(2j * np.pi * c * np.arange(L) / C)) \
+                * np.exp(-2j * np.pi * c * m * R / C)
+    return Y
+
+
+def test_oversampled_matches_bruteforce_oracle():
+    """os=2 output equals the direct filter-bank definition exactly."""
+    from tpudsp.chains.channelizer import build, channelize
+    C, T = 8, 4
+    cfg = ChannelizerConfig(nchan=C, taps_per_branch=T, iq_rate=1.0,
+                            oversample=2)
+    Ht, st = build(cfg)
+    h = np.asarray(Ht).reshape(-1)  # h[t*C+p]
+    rng = np.random.default_rng(3)
+    n = C * 16
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    _, Y = channelize(Ht, st, x, os=2)
+    Y = np.asarray(Y)
+    M = Y.shape[0]
+    assert M == 2 * n // C
+    want = _os2_oracle(h.astype(np.float64), C, x.astype(np.complex128), M)
+    np.testing.assert_allclose(Y, want, atol=5e-5)
+
+
+def test_oversampled_block_invariance():
+    C = 32
+    cfg = ChannelizerConfig(nchan=C, taps_per_branch=6, iq_rate=3_200_000.0,
+                            oversample=2)
+    rng = np.random.default_rng(1)
+    n = C * 256
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    ch1 = Channelizer(cfg, block_len=n)
+    Y1 = np.asarray(ch1(x))
+    ch2 = Channelizer(cfg, block_len=n // 4)
+    Y2 = np.concatenate([np.asarray(ch2(x[i:i + n // 4]))
+                         for i in range(0, n, n // 4)], axis=0)
+    np.testing.assert_allclose(Y1, Y2, atol=1e-4)
+
+
+def test_oversampled_flat_passband_at_channel_edge():
+    """A tone at 60% of the channel spacing off center: past the critical
+    bank's channel Nyquist (0.5 spacing) and prototype cutoff (0.55/C), so
+    the os=1 bank attenuates it -- while the 2x bank with a full-width
+    prototype (cutoff 0.95/C) passes it at ~unity gain, alias-free (the 2x
+    channel Nyquist spans the full spacing). The motivating property of
+    the oversampled PFB."""
+    C = 32
+    n = C * 2048
+    t = np.arange(n)
+    c0 = 5
+    f_off = 0.6 / C
+    x = np.exp(2j * np.pi * (c0 / C + f_off) * t).astype(np.complex64)
+
+    cfg2 = ChannelizerConfig(nchan=C, taps_per_branch=12,
+                             iq_rate=3_200_000.0, oversample=2,
+                             cutoff_frac=0.95)
+    Y2 = np.asarray(Channelizer(cfg2, block_len=n)(x))[128:, c0]
+    m = np.arange(len(Y2)) + 128
+    ref = np.exp(2j * np.pi * f_off * (C // 2) * m)  # offset at hop rate
+    a = np.vdot(ref, Y2) / np.vdot(ref, ref)
+    assert abs(abs(a) - 1.0) < 0.05, abs(a)
+    assert snr_db(a * ref, Y2) > 40.0
+
+    cfg1 = ChannelizerConfig(nchan=C, taps_per_branch=12,
+                             iq_rate=3_200_000.0, oversample=1)
+    Y1 = np.asarray(Channelizer(cfg1, block_len=n)(x))[64:, c0]
+    g1 = np.sqrt(np.mean(np.abs(Y1) ** 2))
+    assert g1 < 0.5  # critical bank attenuates past its cutoff
+
+
+def test_oversampled_channelized_fm_bank():
+    """The demod bank runs unchanged behind the 2x channelizer (channel
+    rate doubles; kd is normalized at the channel rate)."""
+    C = 64
+    iq_rate = 6_400_000.0
+    cfgc = ChannelizerConfig(nchan=C, taps_per_branch=8, iq_rate=iq_rate,
+                             oversample=2, cutoff_frac=0.95)
+    chan_rate = cfgc.chan_rate  # 200 kHz
+    cfg = ChannelizedBankConfig(channelizer=cfgc, demod="fm",
+                                kd=25_000.0 / chan_rate)
+    n = C * 4096
+    t = np.arange(n)
+    stations = {10: 1000.0, 40: 2300.0}
+    x = 0
+    for c, f_msg in stations.items():
+        m = np.sin(2 * np.pi * f_msg / iq_rate * t)
+        x = x + np.exp(1j * (2 * np.pi * (c / C) * t
+                             + 2 * np.pi * (25_000.0 / iq_rate)
+                             * np.cumsum(m)))
+    bank = ChannelizedBank(cfg, block_len=n)
+    audio = np.asarray(bank((x / len(stations)).astype(np.complex64)))
+    assert audio.shape == (C, 2 * n // C)
+    for c, f_msg in stations.items():
+        tail = audio[c, audio.shape[1] // 4:]
+        spec = np.abs(np.fft.rfft(tail * np.hanning(len(tail))))
+        freqs = np.fft.rfftfreq(len(tail), 1.0 / chan_rate)
+        peak = freqs[np.argmax(spec[3:]) + 3]
+        assert abs(peak - f_msg) < 0.02 * chan_rate, (c, peak, f_msg)

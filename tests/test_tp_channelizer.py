@@ -95,3 +95,24 @@ def test_channel_layout_roundtrip():
     assert sorted(perm) == list(range(C1 * C2))
     # layout position c1*C2 + c2 holds natural channel c2*C1 + c1
     assert perm[3 * C2 + 5] == 5 * C1 + 3
+
+
+def test_tp_channelizer_oversampled_matches_single_chip():
+    """os=2 through the distributed transform (odd-frame branch roll in
+    place of the post-IFFT parity sign) must match the single-chip os=2
+    channelizer across blocks."""
+    C = 64
+    cfg = ChannelizerConfig(nchan=C, taps_per_branch=8, iq_rate=6_400_000.0,
+                            oversample=2, cutoff_frac=0.95)
+    n = C * 64 * 8
+    x = _iq(2 * n, seed=9)
+
+    ref = Channelizer(cfg, block_len=n)
+    Y_ref = np.concatenate([np.asarray(ref(x[i:i + n]))
+                            for i in range(0, 2 * n, n)], axis=0)
+
+    mesh = make_mesh(1, 8)
+    sc = ShardedChannelizer(cfg, mesh, block_len=n, axis_name="time")
+    Y = np.concatenate([sc(x[i:i + n]) for i in range(0, 2 * n, n)], axis=0)
+    assert Y.shape == Y_ref.shape == (2 * 2 * n // C, C)
+    assert snr_db(Y_ref, Y) > 110.0

@@ -44,10 +44,21 @@ class ChannelizerConfig:
     # than 0.5 keeps the passband flat across each channel (receive-PFB
     # convention; adjacent-channel overlap is rejected by As in the stopband)
     cutoff_frac: float = 0.55
+    # 1 = critically sampled (channel rate fs/C); 2 = 2x oversampled
+    # (hop C/2, channel rate 2*fs/C): the channel Nyquist band then spans
+    # the FULL channel spacing, so a cutoff_frac up to ~1.0 gives a flat
+    # passband across the whole channel with no aliasing at its edges.
+    oversample: int = 1
+
+    def __post_init__(self):
+        if self.oversample not in (1, 2):
+            raise ValueError("oversample must be 1 or 2")
+        if self.oversample == 2 and self.nchan % 2:
+            raise ValueError("2x oversampling needs an even channel count")
 
     @property
     def chan_rate(self):
-        return self.iq_rate / self.nchan
+        return self.iq_rate / self.nchan * self.oversample
 
 
 class ChannelizerState(NamedTuple):
@@ -66,30 +77,44 @@ def build(cfg: ChannelizerConfig):
     return Ht, state
 
 
-def channelize(Ht, state: ChannelizerState, x):
+def channelize(Ht, state: ChannelizerState, x, os: int = 1):
     """x: (N,) complex64 with N a multiple of C. Returns
-    (state, Y (M, C) complex64): M = N/C frames of C channel samples;
+    (state, Y (M, C) complex64): M = os*N/C frames of C channel samples;
     channel c is the signal at center +c/C cycles/sample, at unity
     prototype-passband gain.
 
-    Derivation: Y[m, c] = sum_n x[n] e^{-2 pi j c n / C} h[mC - n]
-    (mix-down then filter, sampled every C). With n = mC - (tC + p):
-        Y[m, c] = sum_p e^{+2 pi j c p / C} sum_t h[tC+p] x[(m-t)C - p]
-    i.e. branch p reads the commutator BACKWARDS: v[m, p] = x[mC - p],
-    which is the column-reversed framing of the stream delayed by C-1:
-        v = xfull[: M*C].reshape(M, C)[:, ::-1]  (xfull prepends C-1 tail)
-    then T shifted multiply-adds and a C-point IFFT (x C) along p."""
+    Derivation (hop R = C/os): Y[m, c] = sum_n x[n] e^{-2 pi j c n / C}
+    h[mR - n] (mix-down then filter, sampled every R). With n = mR -
+    (tC + p):
+        Y[m, c] = e^{-2 pi j c mR/C} sum_p e^{+2 pi j c p / C}
+                      sum_t h[tC+p] x[(m - os*t)R - p]
+    i.e. branch p reads the commutator BACKWARDS: v[m, p] = x[mR - p],
+    which is the column-reversed hop-R framing of the stream delayed by
+    C-1, then T shifted (by os*t) multiply-adds and a C-point IFFT (x C)
+    along p. Critically sampled (os=1) the leading phase term is 1; at
+    os=2 it is (-1)^{c m} -- a parity sign flip on odd frames, applied
+    after the IFFT. Block lengths a multiple of C keep M even, so the
+    frame parity needs no carried state."""
     T, C = Ht.shape
+    R = C // os
     n = x.shape[0]
-    M = n // C
+    M = n // R
     xfull = jnp.concatenate([state.tail, x])  # ((T-1)*C + C-1 + N,)
-    M_all = M + T - 1
-    V = xfull[: M_all * C].reshape(M_all, C)[:, ::-1]
+    M_all = M + os * (T - 1)
+    if os == 1:
+        V = xfull[: M_all * C].reshape(M_all, C)[:, ::-1]
+    else:
+        B = xfull[: (M_all + 1) * R].reshape(M_all + 1, R)
+        V = jnp.concatenate([B[:-1], B[1:]], axis=1)[:, ::-1]
     u = jnp.zeros((M, C), jnp.complex64)
     for t in range(T):
         u = u + Ht[t][None, :] * jax.lax.dynamic_slice_in_dim(
-            V, T - 1 - t, M, axis=0)
+            V, os * (T - 1 - t), M, axis=0)
     Y = (jnp.fft.ifft(u, axis=1) * C).astype(jnp.complex64)
+    if os == 2:
+        sign_c = (1.0 - 2.0 * (jnp.arange(C) % 2)).astype(jnp.float32)
+        odd = (jnp.arange(M) % 2).astype(jnp.float32)[:, None]
+        Y = Y * ((1.0 - odd) + odd * sign_c[None, :])
     new_state = ChannelizerState(tail=xfull[-((T - 1) * C + C - 1):])
     return new_state, Y
 
@@ -104,7 +129,7 @@ class Channelizer:
         self.cfg = cfg
         self.block_len = block_len
         self.Ht, self.state = build(cfg)
-        self._run = jax.jit(channelize)
+        self._run = jax.jit(partial(channelize, os=cfg.oversample))
 
     def __call__(self, iq):
         iq = jnp.asarray(iq, jnp.complex64)
@@ -143,7 +168,8 @@ def bank_step(params, state: DemodBankState, x, *, cfg: ChannelizedBankConfig):
     """100 Msps IQ block -> (state, audio (C, M)): channelize then demod
     every channel (freqdem + de-emphasis for FM; envelope for AM)."""
     Ht, b0, a = params
-    ch_state, Y = channelize(Ht, state.ch, x)      # (M, C)
+    ch_state, Y = channelize(Ht, state.ch, x,
+                             os=cfg.channelizer.oversample)  # (M, C)
     Yc = Y.T                                       # (C, M)
     if cfg.demod == "fm":
         xprev = jnp.concatenate([state.fd_prev[:, None], Yc[:, :-1]], axis=1)

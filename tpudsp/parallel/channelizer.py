@@ -78,24 +78,41 @@ def _factor(C: int, n_shards: int, c1: int | None):
     return C1, C2
 
 
-def _frontend_local(Ht, halo_tail, x_loc):
+def _frontend_local(Ht, halo_tail, x_loc, os: int = 1):
     """Polyphase weighted-sum front end on this shard's time slice.
     halo_tail: ((T-1)*C + C-1,) samples preceding x_loc in the stream.
-    Returns u_loc (M_loc, C): branch p of frames owned by this shard."""
+    Returns u_loc (M_loc, C): branch p of frames owned by this shard
+    (M_loc = os * len(x_loc) / C; see chains/channelizer.py::channelize
+    for the hop-R derivation).
+
+    At os=2 the odd-frame phase factor e^{-j pi c} is applied HERE, in the
+    branch domain, as a circular C/2 roll of u (a modulation theorem pair:
+    rolling u by C/2 multiplies the post-IFFT channel c by (-1)^c) -- so
+    the distributed two-stage FFT downstream needs no channel-indexed
+    correction. Local frame parity equals global parity because every
+    shard owns an even frame count (block_len % (C * n_shards) == 0)."""
     T, C = Ht.shape
-    M_loc = x_loc.shape[0] // C
+    R = C // os
+    M_loc = (x_loc.shape[0] // C) * os
     xfull = jnp.concatenate([halo_tail, x_loc])
-    M_all = M_loc + T - 1
-    V = xfull[: M_all * C].reshape(M_all, C)[:, ::-1]
+    M_all = M_loc + os * (T - 1)
+    if os == 1:
+        V = xfull[: M_all * C].reshape(M_all, C)[:, ::-1]
+    else:
+        B = xfull[: (M_all + 1) * R].reshape(M_all + 1, R)
+        V = jnp.concatenate([B[:-1], B[1:]], axis=1)[:, ::-1]
     u = jnp.zeros((M_loc, C), jnp.complex64)
     for t in range(T):
         u = u + Ht[t][None, :] * lax.dynamic_slice_in_dim(
-            V, T - 1 - t, M_loc, axis=0)
+            V, os * (T - 1 - t), M_loc, axis=0)
+    if os == 2:
+        odd = (jnp.arange(M_loc) % 2)[:, None].astype(jnp.complex64)
+        u = (1.0 - odd) * u + odd * jnp.roll(u, -(C // 2), axis=1)
     return u
 
 
 def tp_channelize_shard(Ht, tw, tail, x_loc, *, C1: int, C2: int,
-                        axis_name: str):
+                        axis_name: str, os: int = 1):
     """Per-shard body (under shard_map over ``axis_name``).
 
     Ht: (T, C) prototype branches (replicated); tw: (C1, C2//n) local
@@ -108,7 +125,7 @@ def tp_channelize_shard(Ht, tw, tail, x_loc, *, C1: int, C2: int,
     htail = (T - 1) * C + C - 1
     n_shards = lax.axis_size(axis_name)
     halo = left_halo(x_loc, htail, axis_name, tail)
-    u = _frontend_local(Ht, halo, x_loc)                  # (M_loc, C)
+    u = _frontend_local(Ht, halo, x_loc, os)              # (M_loc, C)
     M_loc = u.shape[0]
     u = u.reshape(M_loc, C1, C2)
     # transpose 1: frame shards -> p2 shards
@@ -162,7 +179,7 @@ class ShardedChannelizer:
             np.exp(2j * np.pi * c1g * p2g / C).astype(np.complex64))
 
         body = partial(tp_channelize_shard, C1=self.C1, C2=self.C2,
-                       axis_name=axis_name)
+                       axis_name=axis_name, os=cfg.oversample)
         A = axis_name
         mapped = jax.shard_map(
             body, mesh=mesh,
@@ -209,7 +226,8 @@ def tp_bank_shard(params, state: TPBankState, x_loc, *,
     (C1_loc, C2, M))."""
     Ht, tw, b0, a = params
     tail_out, Y = tp_channelize_shard(Ht, tw, state.tail, x_loc,
-                                      C1=C1, C2=C2, axis_name=axis_name)
+                                      C1=C1, C2=C2, axis_name=axis_name,
+                                      os=cfg.channelizer.oversample)
     Yc = jnp.transpose(Y, (1, 2, 0))                    # (C1_loc, C2, M)
     if cfg.demod == "fm":
         xprev = jnp.concatenate([state.fd_prev[:, :, None], Yc[:, :, :-1]],
