@@ -363,3 +363,31 @@ def test_strided_cfir_wide_equals_blocked():
     b = np.asarray(kdec.strided_cfir_matmul_wide(jnp.asarray(X), Tre, Tim, Q, nj))
     assert a.shape == b.shape == (C, nj)
     np.testing.assert_allclose(b, a, rtol=0, atol=2e-4 * np.abs(a).max())
+
+
+def test_sos_scan_df_vs_oracle_hard_config():
+    """Compensated (double-float) scan on the README's cheby2 order-8
+    Fc=0.0075 bandpass config: the plain f32 scan floors near 60 dB here
+    (near-unit poles), the df scan must clear 120 dB."""
+    sos = iirdes.iirdes_sos("cheby2", "lowpass", 8, 0.0075, As=60.0, Ap=0.5)
+    x = noise(4096, complex_out=True, seed=1)
+    y_ref = SosFilterOracle(sos)(x)
+    pdf = kiir.sos_split_df(sos)
+    st = kiir.sos_init(sos, jnp.complex64)
+    _, y = jax.jit(kiir.sos_apply_df)(pdf, st, jnp.asarray(x, jnp.complex64))
+    assert snr_db(y_ref, np.asarray(y)) > 120.0
+
+
+def test_sos_scan_df_block_invariance():
+    sos = iirdes.iirdes_sos("cheby2", "lowpass", 8, Fc=0.0075, As=60.0)
+    pdf = kiir.sos_split_df(sos)
+    x = noise(3000, complex_out=True, seed=2).astype(np.complex64)
+    st = kiir.sos_init(sos, jnp.complex64)
+    _, y_full = kiir.sos_apply_df(pdf, st, jnp.asarray(x))
+    st = kiir.sos_init(sos, jnp.complex64)
+    parts = []
+    for piece in (x[:7], x[7:1000], x[1000:1001], x[1001:]):
+        st, yp = kiir.sos_apply_df(pdf, st, jnp.asarray(piece))
+        parts.append(np.asarray(yp))
+    y_cat = np.concatenate(parts)
+    assert snr_db(np.asarray(y_full), y_cat) > 100.0

@@ -82,6 +82,156 @@ def sos_apply(sos, state, x):
     return jnp.stack(new_states), y
 
 
+# --- compensated (double-float) scan: the plain f32 associative scan
+# sits at a ~60 dB floor for high-Q poles (prefix products of
+# near-unit-circle transition matrices cancel catastrophically at
+# log-depth). Representing every scan value as an UNEVALUATED f32 PAIR
+# (hi, lo) with error-free transforms (Dekker/Knuth) carries ~48
+# mantissa bits through the combine at f32 register width -- no float64
+# (emulated and slow on TPU) anywhere. ~20x the flops of the plain
+# combine, still fully parallel; this is the non-default fallback path
+# for impulse responses past the TIR budget, where it measures >110 dB
+# on the README's order-8 cheby2 (tests/test_kernels.py).
+
+_DK = 4097.0  # 2^12 + 1: Dekker split point for f32 (24-bit mantissa)
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _dk_split(a):
+    t = _DK * a
+    hi = t - (t - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    p = a * b
+    ah, al = _dk_split(a)
+    bh, bl = _dk_split(b)
+    return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
+
+
+def _df_renorm(hi, lo):
+    s = hi + lo
+    return s, lo - (s - hi)
+
+
+def _df_add(x, y):
+    sh, se = _two_sum(x[0], y[0])
+    return _df_renorm(sh, se + (x[1] + y[1]))
+
+
+def _df_mul(x, y):
+    ph, pe = _two_prod(x[0], y[0])
+    return _df_renorm(ph, pe + (x[0] * y[1] + x[1] * y[0]))
+
+
+def sos_split_df(sos64: np.ndarray):
+    """Host-side: float64 SOS (S, 6) -> double-float scan coefficients.
+
+    Splitting happens BEFORE f32 rounding: for low-Fc high-Q designs the
+    f32-rounded a1/a2 move the poles by enough to change the transfer
+    function itself (~60 dB floor on the README's cheby2 order-8
+    Fc=0.0075) -- no runtime precision can recover that, so the (hi, lo)
+    pairs are computed from the float64 design values.
+
+    Returns (A_hi, A_lo (S,2,2) f32; c_hi, c_lo (S,2) f32; b0 (S,) f32).
+    """
+    sos64 = np.asarray(sos64, np.float64)
+    S = len(sos64)
+    A64 = np.zeros((S, 2, 2))
+    c64 = np.zeros((S, 2))
+    for s, (b0, b1, b2, _, a1, a2) in enumerate(sos64):
+        A64[s] = [[-a1, 1.0], [-a2, 0.0]]
+        c64[s] = [b1 - a1 * b0, b2 - a2 * b0]
+    A_hi = A64.astype(np.float32)
+    A_lo = (A64 - A_hi).astype(np.float32)
+    c_hi = c64.astype(np.float32)
+    c_lo = (c64 - c_hi).astype(np.float32)
+    return (jnp.asarray(A_hi), jnp.asarray(A_lo), jnp.asarray(c_hi),
+            jnp.asarray(c_lo), jnp.asarray(sos64[:, 0], jnp.float32))
+
+
+def _biquad_scan_df(A_hi, A_lo, c_hi, c_lo, b0, v0, x):
+    """Compensated twin of _biquad_scan for REAL x (the biquad recurrence
+    has real coefficients, so complex blocks run it on re/im separately).
+    A_*: (2,2) f32 pair; c_*: (2,) f32 pair; b0 scalar; v0: (2,) f32
+    carried state; x: (N,) f32. Returns (v_last (2,), y (N,)) in f32."""
+    n = x.shape[0]
+    Mh = jnp.broadcast_to(A_hi, (n, 2, 2))
+    Ml = jnp.broadcast_to(A_lo, (n, 2, 2))
+    uh, ul = _two_prod(jnp.broadcast_to(c_hi[None, :], (n, 2)), x[:, None])
+    uh, ul = _df_renorm(uh, ul + c_lo[None, :] * x[:, None])
+
+    def combine(e1, e2):
+        M1h, M1l, u1h, u1l = e1
+        M2h, M2l, u2h, u2l = e2
+        # 2x2 df matmul M2 @ M1 and df matvec M2 @ u1 + u2, unrolled
+        Mh_rows, Ml_rows = [], []
+        uh_rows, ul_rows = [], []
+        for i in range(2):
+            mr_h, mr_l = [], []
+            acc = None
+            for j in range(2):
+                s = _df_mul((M2h[..., i, 0], M2l[..., i, 0]),
+                            (M1h[..., 0, j], M1l[..., 0, j]))
+                t = _df_mul((M2h[..., i, 1], M2l[..., i, 1]),
+                            (M1h[..., 1, j], M1l[..., 1, j]))
+                m = _df_add(s, t)
+                mr_h.append(m[0])
+                mr_l.append(m[1])
+            Mh_rows.append(jnp.stack(mr_h, axis=-1))
+            Ml_rows.append(jnp.stack(mr_l, axis=-1))
+            s = _df_mul((M2h[..., i, 0], M2l[..., i, 0]), (u1h[..., 0], u1l[..., 0]))
+            t = _df_mul((M2h[..., i, 1], M2l[..., i, 1]), (u1h[..., 1], u1l[..., 1]))
+            acc = _df_add(_df_add(s, t), (u2h[..., i], u2l[..., i]))
+            uh_rows.append(acc[0])
+            ul_rows.append(acc[1])
+        return (jnp.stack(Mh_rows, axis=-2), jnp.stack(Ml_rows, axis=-2),
+                jnp.stack(uh_rows, axis=-1), jnp.stack(ul_rows, axis=-1))
+
+    Mph, Mpl, uph, upl = jax.lax.associative_scan(combine, (Mh, Ml, uh, ul))
+    # v[n] = Mp[n] @ v0 + up[n], df throughout; emit f32
+    vh, vl = [], []
+    for i in range(2):
+        s = _df_mul((Mph[:, i, 0], Mpl[:, i, 0]), (v0[0], jnp.zeros_like(v0[0])))
+        t = _df_mul((Mph[:, i, 1], Mpl[:, i, 1]), (v0[1], jnp.zeros_like(v0[1])))
+        r = _df_add(_df_add(s, t), (uph[:, i], upl[:, i]))
+        vh.append(r[0])
+        vl.append(r[1])
+    v = jnp.stack([vh[0] + vl[0], vh[1] + vl[1]], axis=-1)
+    v_prev = jnp.concatenate([v0[None, :], v[:-1]], 0)
+    y = b0 * x + v_prev[:, 0]
+    return v[-1], y
+
+
+def sos_apply_df(params_df, state, x):
+    """Compensated-f32 twin of sos_apply (the mode='scan' op path).
+    params_df from sos_split_df; state/x as sos_apply. Complex blocks run
+    the real-coefficient recurrence on re/im independently; carried state
+    stays f32 (hi only) at block edges -- the boundary rounding is
+    per-block and does not compound."""
+    A_hi, A_lo, c_hi, c_lo, b0 = params_df
+    S = A_hi.shape[0]
+    new_states = []
+    y = x
+    for s in range(S):
+        args = (A_hi[s], A_lo[s], c_hi[s], c_lo[s], b0[s])
+        if jnp.iscomplexobj(y):
+            vr, yr = _biquad_scan_df(*args, state[s].real, y.real)
+            vi, yi = _biquad_scan_df(*args, state[s].imag, y.imag)
+            vs = vr + 1j * vi
+            y = (yr + 1j * yi).astype(jnp.complex64)
+        else:
+            vs, y = _biquad_scan_df(*args, state[s], y)
+        new_states.append(vs)
+    return jnp.stack(new_states), y
+
+
 def first_order_init(dtype=jnp.float32):
     return jnp.zeros((), dtype=dtype)
 

@@ -247,7 +247,10 @@ def _broadcastam_block(state, x, *, h_lp, sos_dc, m, exact_pll):
     scan = kpll.pll_carrier_scan if exact_pll else kpll.pll_carrier_scan_chunked
     pll_state, thetas = scan(pll_state, x0, 0.001)  # bw per demod.hpp:104
     v1 = x1 * jnp.exp(-1j * thetas)
-    dc_state, y = kiir.sos_apply(sos_dc, dc_state, v1.real.astype(jnp.float32))
+    # fc=20/48000 puts the HPF poles at radius ~0.9983: run the DC block
+    # through the compensated scan (plain f32 floors for near-unit poles)
+    dc_state, y = kiir.sos_apply_df(sos_dc, dc_state,
+                                    v1.real.astype(jnp.float32))
     return (fir_tail, delay_buf, pll_state, dc_state), y
 
 
@@ -266,7 +269,7 @@ class BroadcastAM(StatefulOp):
         self._h_lp = jnp.asarray(h, jnp.float32)
         sos = iirdes.iirdes_sos("cheby2", "highpass", 3, 20.0 / 48000.0,
                                 Ap=0.5, As=20.0)
-        self._sos_dc = jnp.asarray(sos, jnp.float32)
+        self._sos_dc = kiir.sos_split_df(sos)
         self._n_sos = len(sos)
         self._block = jax.jit(
             partial(_broadcastam_block, h_lp=self._h_lp, sos_dc=self._sos_dc,

@@ -24,7 +24,7 @@ from ..kernels import fir as kfir
 from ..kernels import iir as kiir
 from .base import StatefulOp, as_c64, as_f32
 
-_sos_apply = jax.jit(kiir.sos_apply)
+_sos_apply_df = jax.jit(kiir.sos_apply_df)
 _fir_apply = jax.jit(partial(kfir.fir_apply, method="auto"))
 _first_order = jax.jit(kiir.first_order_apply)
 
@@ -52,7 +52,11 @@ class _SosFilterBase(StatefulOp):
             raise ValueError("impulse response does not decay within TIR budget")
         if mode == "scan":
             self._tir_taps = None
-        self._sos_j = jnp.asarray(self._sos, jnp.float32)
+        # scan mode runs the compensated (double-float) cascade: the plain
+        # f32 scan floors near 60 dB for low-Fc high-Q designs, the df
+        # scan measures ~147 dB on the same (kernels/iir.py sos_split_df)
+        self._sos_df = None if self._tir_taps is not None \
+            else kiir.sos_split_df(self._sos)
         self.reset()
 
     @property
@@ -80,7 +84,7 @@ class _SosFilterBase(StatefulOp):
         if self._tir_taps is not None:
             self._state, y = _fir_apply(self._tir_taps, self._state, xj)
         else:
-            self._state, y = _sos_apply(self._sos_j, self._state, xj)
+            self._state, y = _sos_apply_df(self._sos_df, self._state, xj)
         return np.asarray(y)
 
     def __call__(self, inp):
