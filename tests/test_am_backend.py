@@ -71,6 +71,49 @@ def test_chain_pallas_backend_matches_xla():
     assert snr_db(yx[3000:], yp[3000:]) > 65.0
 
 
+def test_front_chunked_matches_exact():
+    """XLA warmup-chunk front (AGC+PLL) vs the exact sequential front."""
+    x = jnp.asarray(_signal(30000))
+    p = _params()
+    st = kab.FrontState(kagc.agc_init(),
+                        kab.PllState(jnp.float32(0.0), jnp.float32(0.0)))
+    _, (vr_exact, _) = kab.front_exact(p, st, x)
+    _, (vr_ch, _) = kab.front_chunked(p, st, x, chunk=1024, warmup=4096)
+    settle = 8000
+    assert snr_db(np.asarray(vr_exact)[settle:],
+                  np.asarray(vr_ch)[settle:]) > 60.0
+
+
+def test_front_chunked_pallas_batched_matches_exact():
+    """Batched (C, L) Pallas front: every stream matches its own exact
+    front scan (interpret mode; distinct carriers + message rates, and an
+    L that is NOT a multiple of the chunk to exercise the pad fixup)."""
+    import jax
+    from tpudsp.pallas.am_backend_scan import front_chunked_pallas
+    C, L = 3, 30000 - 128
+    xs = np.stack([_signal(L, carrier_freq=0.001 * (c + 1)) for c in range(C)])
+    p = _params()
+    st = kab.FrontState(
+        agc=jax.tree.map(lambda v: jnp.broadcast_to(v, (C,)), kagc.agc_init()),
+        pll=kab.PllState(jnp.zeros((C,), jnp.float32),
+                         jnp.zeros((C,), jnp.float32)))
+    front, (vr, modes) = front_chunked_pallas(p, st, jnp.asarray(xs),
+                                              chunk=1024, warmup=4096,
+                                              interpret=True)
+    settle = 8000
+    st1 = kab.FrontState(kagc.agc_init(),
+                         kab.PllState(jnp.float32(0.0), jnp.float32(0.0)))
+    for c in range(C):
+        fe, (vre, _) = kab.front_exact(p, st1, jnp.asarray(xs[c]))
+        assert snr_db(np.asarray(vre)[settle:],
+                      np.asarray(vr)[c, settle:]) > 60.0, c
+        # carried state must match the exact scan's per stream
+        np.testing.assert_allclose(np.asarray(front.pll.theta[c]),
+                                   np.asarray(fe.pll.theta), atol=2e-2)
+        np.testing.assert_allclose(np.asarray(front.agc.g[c]),
+                                   np.asarray(fe.agc.g), rtol=2e-3)
+
+
 def test_pallas_fused_no_carrier():
     x = jnp.asarray(_signal(20000, carrier_freq=0.0))
     p = _params(carrier=False)

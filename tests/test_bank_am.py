@@ -1,8 +1,15 @@
-"""AM-envelope path of the receiver bank (config 3 covers AM and FM)."""
+"""AM paths of the receiver bank: envelope (default) and the coherent
+back end (cfg.am_coherent: per-channel AGC + carrier PLL + DC tracker)."""
 
 import numpy as np
 
 from tpudsp.chains import BankConfig, ReceiverBank
+
+
+def _tone_peak(audio_tail, fs):
+    spec = np.abs(np.fft.rfft(audio_tail * np.hanning(len(audio_tail))))
+    freqs = np.fft.rfftfreq(len(audio_tail), 1 / fs)
+    return freqs[np.argmax(spec[3:]) + 3]
 
 
 def test_am_bank_envelope_recovery():
@@ -26,3 +33,96 @@ def test_am_bank_envelope_recovery():
         freqs = np.fft.rfftfreq(len(tail), 1 / fs_a)
         peak = freqs[np.argmax(spec[3:]) + 3]
         assert abs(peak - f_msg) < 40.0, (c, peak)
+
+
+def _am_iq(iq_rate, n, chans):
+    """Sum of AM carriers: chans = ((center_hz, offset_hz, f_msg), ...)."""
+    t = np.arange(n)
+    iq = np.zeros(n, np.complex128)
+    for fc, df, fm in chans:
+        m = np.sin(2 * np.pi * fm / iq_rate * t)
+        iq += (1 + 0.5 * m) * 0.3 * np.exp(
+            2j * np.pi * (fc + df) / iq_rate * t)
+    return iq.astype(np.complex64)
+
+
+def test_am_bank_coherent_recovery_and_dc():
+    """Coherent AM channels (AGC + carrier PLL + DC tracker) recover the
+    message with the carrier DC removed -- unlike the raw envelope path,
+    whose audio rides on the carrier level."""
+    iq_rate = 2_400_000.0
+    n = 600_000
+    f1, f2 = 300_000.0, -500_000.0
+    iq = _am_iq(iq_rate, n, ((f1, 30.0, 1000.0), (f2, -20.0, 2000.0)))
+    cfg = BankConfig(freqs=(f1, f2), iq_rate=iq_rate, demod="am",
+                     am_coherent=True)
+    bank = ReceiverBank(cfg, block_len=n)
+    audio = np.asarray(bank(iq))
+    fs_a = cfg.audio_rate
+    for c, f_msg in ((0, 1000.0), (1, 2000.0)):
+        tail = audio[c, audio.shape[1] // 2:]
+        assert abs(tail.mean()) < 0.05 * np.abs(tail).max(), (c, tail.mean())
+        peak = _tone_peak(tail, fs_a)  # NO mean subtraction
+        assert abs(peak - f_msg) < 40.0, (c, peak)
+
+
+def test_am_bank_coherent_streaming_invariance():
+    """Two half blocks == one full block (carried front/dc state)."""
+    iq_rate = 2_400_000.0
+    n = 500_000
+    f1 = 300_000.0
+    iq = _am_iq(iq_rate, n, ((f1, 25.0, 1000.0),))
+    cfg = BankConfig(freqs=(f1,), iq_rate=iq_rate, demod="am",
+                     am_coherent=True)
+    full = np.asarray(ReceiverBank(cfg, block_len=n)(iq))
+    bank2 = ReceiverBank(cfg, block_len=n // 2)
+    split = np.concatenate(
+        [np.asarray(bank2(iq[: n // 2])), np.asarray(bank2(iq[n // 2:]))],
+        axis=1)
+    assert full.shape == split.shape
+    tail = slice(full.shape[1] // 4, None)
+    err = full[:, tail] - split[:, tail]
+    snr = 10 * np.log10((full[:, tail] ** 2).mean() / ((err ** 2).mean() + 1e-30))
+    assert snr > 55.0, snr
+
+
+def test_am_bank_coherent_pallas_matches_xla():
+    iq_rate = 2_400_000.0
+    n = 500_000
+    f1, f2 = 300_000.0, -500_000.0
+    iq = _am_iq(iq_rate, n, ((f1, 30.0, 1000.0), (f2, -20.0, 2000.0)))
+    cfg = BankConfig(freqs=(f1, f2), iq_rate=iq_rate, demod="am",
+                     am_coherent=True)
+    ax = np.asarray(ReceiverBank(cfg, block_len=n, backend="xla")(iq))
+    ap = np.asarray(ReceiverBank(cfg, block_len=n, backend="pallas")(iq))
+    err = ax - ap
+    snr = 10 * np.log10((ax ** 2).mean() / ((err ** 2).mean() + 1e-30))
+    assert snr > 60.0, snr
+
+
+def test_mixed_bank_with_coherent_am():
+    """EP-analog dispatch with the coherent AM back end: FM channel via
+    freqdem, AM channel via the full feedback back end, one bank."""
+    iq_rate = 2_400_000.0
+    n = 600_000
+    t = np.arange(n)
+    f_fm, f_am = 400_000.0, -300_000.0
+    # FM channel: 1.5 kHz tone, 75 kHz deviation
+    dev = 75_000.0
+    phase = 2 * np.pi * np.cumsum(
+        f_fm / iq_rate + dev / iq_rate * np.sin(2 * np.pi * 1500.0 / iq_rate * t))
+    s_fm = np.exp(1j * phase)
+    iq = (0.5 * s_fm + _am_iq(iq_rate, n, ((f_am, 20.0, 2000.0), ))).astype(
+        np.complex64)
+    cfg = BankConfig(freqs=(f_fm, f_am), iq_rate=iq_rate, demod=("fm", "am"),
+                     am_coherent=True, kd=dev / (iq_rate / 10))
+    bank = ReceiverBank(cfg, block_len=n)
+    audio = np.asarray(bank(iq))
+    fs_a = cfg.audio_rate
+    for c, f_msg in ((0, 1500.0), (1, 2000.0)):
+        tail = audio[c, audio.shape[1] // 2:]
+        peak = _tone_peak(tail - tail.mean(), fs_a)
+        assert abs(peak - f_msg) < 40.0, (c, peak)
+    # the coherent AM channel's audio is DC-free without mean subtraction
+    am_tail = audio[1, audio.shape[1] // 2:]
+    assert abs(am_tail.mean()) < 0.05 * np.abs(am_tail).max()

@@ -35,11 +35,25 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..design import firdes, iirdes
+from ..kernels import agc as kagc
+from ..kernels import am_backend as kab
 from ..kernels import decimate as kdec
 from ..kernels import freqdem as kfd
 from ..kernels import iir as kiir
+from ..kernels.pll import PllState
 
 TWO_PI = 2.0 * np.pi
+
+
+def _demod_tuple(cfg) -> tuple:
+    """Static per-channel demod types from cfg.demod (str or tuple)."""
+    if isinstance(cfg.demod, str):
+        return (cfg.demod,) * cfg.nchan
+    return tuple(cfg.demod)
+
+
+def _am_indices(cfg) -> tuple:
+    return tuple(i for i, d in enumerate(_demod_tuple(cfg)) if d == "am")
 
 
 @dataclass(frozen=True)
@@ -60,6 +74,16 @@ class BankConfig:
     kd: float = 0.3125
     taps1: int = 128      # channel filter length (multiple of 8 for MXU)
     taps2: int = 64       # audio filter length
+    # Full coherent back end for the AM channels (AGC gain loop -> carrier
+    # PLL -> DC tracker, the single-channel chain's kernels/am_backend.py)
+    # instead of the bare envelope |y1|: batched over the AM channels via
+    # the warmup-chunk scans (XLA vmap or the fused Pallas VMEM kernel,
+    # ReceiverBank(backend=...)). Envelope stays the default: it is exact,
+    # memoryless, and right for strong-signal broadcast scanning.
+    am_coherent: bool = False
+    agc_bandwidth: float = 0.01   # AGC loop bw at the channel rate
+    agc_scale: float = 1.0        # post-AGC output scale
+    modulation: float = 1.0       # AM modulation index (audio = vr/mod)
 
     @property
     def nchan(self):
@@ -82,6 +106,7 @@ class BankParams(NamedTuple):
     deemph_b0: jnp.ndarray
     deemph_a: jnp.ndarray
     fm_mask: jnp.ndarray     # (C,) bool: per-channel FM (True) / AM (False)
+    amb: object = None       # AmBackendParams when cfg.am_coherent
 
 
 class BankState(NamedTuple):
@@ -91,6 +116,8 @@ class BankState(NamedTuple):
     fd_prev: jnp.ndarray     # (C,) complex64 freqdem carry
     a_tail: jnp.ndarray      # (C, K2-1) float32 audio filter tails
     deemph: jnp.ndarray      # (C,) float32 de-emphasis carry
+    front: object = None     # FrontState (Ca,) for the coherent AM channels
+    dc: object = None        # (Ca,) f32 DC-tracker carry (coherent AM)
 
 
 def build(cfg: BankConfig):
@@ -121,11 +148,24 @@ def build(cfg: BankConfig):
     dtheta = np.array(
         [np.uint32(int(round((wc % TWO_PI) / TWO_PI * 2**32)) & 0xFFFFFFFF) for wc in w],
         dtype=np.uint32)
+    amb = front = dc0 = None
+    am_idx = _am_indices(cfg)
+    if cfg.am_coherent and am_idx:
+        Ca = len(am_idx)
+        amb = kab.make_params(
+            kagc.make_params(alpha=cfg.agc_bandwidth, scale=cfg.agc_scale),
+            cfg.modulation, b0, a, carrier=True)
+        front = kab.FrontState(
+            agc=jax.tree.map(lambda v: jnp.broadcast_to(v, (Ca,)),
+                             kagc.agc_init()),
+            pll=PllState(jnp.zeros((Ca,), jnp.float32),
+                         jnp.zeros((Ca,), jnp.float32)))
+        dc0 = jnp.zeros((Ca,), jnp.float32)
     params = BankParams(
         taps_re=jnp.asarray(taps_re), taps_im=jnp.asarray(taps_im),
         dtheta=jnp.asarray(dtheta), h2=jnp.asarray(h2),
         deemph_b0=jnp.float32(b0), deemph_a=jnp.float32(a),
-        fm_mask=jnp.asarray(fm_mask),
+        fm_mask=jnp.asarray(fm_mask), amb=amb,
     )
     state = BankState(
         in_tail=jnp.zeros((cfg.taps1 - 1,), jnp.complex64),
@@ -134,6 +174,7 @@ def build(cfg: BankConfig):
         fd_prev=jnp.full((C,), 1.0 + 0.0j, jnp.complex64),
         a_tail=jnp.zeros((C, cfg.taps2 - 1), jnp.float32),
         deemph=jnp.zeros((C,), jnp.float32),
+        front=front, dc=dc0,
     )
     return params, state
 
@@ -160,9 +201,14 @@ def _audio_decimate(A, h2, D2, nj):
     return acc
 
 
-def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig):
+def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig,
+              backend: str = "xla"):
     """iq: (N,) complex64 shared stream, N multiple of decim1*decim2.
-    Returns (state, audio (C, N/(decim1*decim2)) float32)."""
+    Returns (state, audio (C, N/(decim1*decim2)) float32).
+
+    backend selects the engine for the coherent-AM feedback scans when
+    cfg.am_coherent: 'xla' (vmapped warmup-chunk scans) or 'pallas' (the
+    fused VMEM kernel, pallas/am_backend_scan.front_chunked_pallas)."""
     C = cfg.nchan
     D1, D2 = cfg.decim1, cfg.decim2
     K1, K2 = cfg.taps1, cfg.taps2
@@ -192,6 +238,29 @@ def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig):
                          jnp.abs(y1).astype(jnp.float32))
     fd_prev = y1[:, -1]
 
+    am_idx = _am_indices(cfg)
+    front, dc = state.front, state.dc
+    if cfg.am_coherent and am_idx:
+        # coherent AM channels: AGC gain loop + carrier PLL (batched
+        # feedback scans) -> DC tracker (first-order assoc scan), all at
+        # the channel rate, overwriting the envelope rows of `base`
+        idx = jnp.asarray(am_idx)
+        y_am = y1[idx, :]
+        if backend == "pallas":
+            from ..pallas import enabled
+            from ..pallas.am_backend_scan import front_chunked_pallas
+            front, (vr, _modes) = front_chunked_pallas(
+                params.amb, state.front, y_am, interpret=not enabled())
+        else:
+            front, (vr, _modes) = jax.vmap(
+                lambda s, xs: kab.front_chunked(params.amb, s, xs)
+            )(state.front, y_am)
+        dc, dct = jax.vmap(
+            lambda d0, v: kiir.first_order_apply(
+                1.0 - params.amb.dc_rho, params.amb.dc_rho, d0, v)
+        )(state.dc, vr)
+        base = base.at[idx].set((vr - dct) * params.amb.inv_mod)
+
     # audio decimation: per-channel blocked matmul with shared taps
     A = jnp.concatenate([state.a_tail, base], axis=1)  # (C, K2-1+N/D1)
     audio = _audio_decimate(A, params.h2, D2, nj1 // D2)  # (C, N/(D1 D2))
@@ -208,6 +277,7 @@ def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig):
         fd_prev=fd_prev,
         a_tail=A[:, -(K2 - 1):],
         deemph=deemph,
+        front=front, dc=dc,
     )
     return new_state, audio
 
@@ -215,14 +285,17 @@ def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig):
 class ReceiverBank:
     """Stateful multi-channel bank over fixed-size shared-IQ blocks."""
 
-    def __init__(self, cfg: BankConfig, block_len: int = 1_000_000):
+    def __init__(self, cfg: BankConfig, block_len: int = 1_000_000,
+                 backend: str = "xla"):
         D = cfg.decim1 * cfg.decim2
         if block_len % D:
             raise ValueError(f"block_len must be a multiple of {D}")
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r} (use 'xla' or 'pallas')")
         self.cfg = cfg
         self.block_len = block_len
         self.params, self.state = build(cfg)
-        self._step = jax.jit(partial(bank_step, cfg=cfg))
+        self._step = jax.jit(partial(bank_step, cfg=cfg, backend=backend))
 
     def __call__(self, iq):
         iq = jnp.asarray(iq, jnp.complex64)

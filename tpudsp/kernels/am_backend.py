@@ -173,6 +173,21 @@ def front_exact(p: AmBackendParams, st: FrontState, x):
     return jax.lax.scan(step, st, x)
 
 
+def front_chunked(p: AmBackendParams, st: FrontState, x,
+                  chunk: int = 1024, warmup: int = 4096):
+    """Chunk-parallel AGC+PLL front (XLA): the warmup-chunk scheme of
+    kernels/agc.agc_apply_chunked applied to the combined front step.
+    x: (N,) complex64. Returns (FrontState, (vr, modes)). Warmup must
+    exceed ~10x the slowest loop memory (PLL: 1/sqrt(bw) once near lock,
+    AGC: 1/alpha); the defaults cover the broadcast configs and are
+    pinned >= 60 dB vs front_exact in tests."""
+    from .pll import _chunked_scan
+    fn = lambda s, xs: front_exact(p, s, xs)
+    bcast = lambda s, n: jax.tree.map(lambda v: jnp.broadcast_to(v, (n,)), s)
+    sel = lambda f: jax.tree.map(lambda v: v[-1], f)
+    return _chunked_scan(fn, bcast, sel, st, x, chunk, warmup)
+
+
 def linear_tail(p: AmBackendParams, dc0, de0, vr):
     """Exact block-parallel DC tracker + de-emphasis over vr (first-order
     associative scans). Returns ((dc_last, de_last), pcm)."""

@@ -43,7 +43,7 @@ def _make_kernel(params: AmBackendParams):
     kernel as traced operands through the scal SMEM ref."""
 
     def kernel(scal_ref, wre_ref, wim_ref, xre_ref, xim_ref,
-               g0, y2p0, mode0, timer0, th0, fr0,
+               g0, y2p0, mode0, timer0, th0, fr0, ts_ref,
                vr_ref, modes_ref, gN, y2pN, modeN, timerN, thN, frN):
         p = AmBackendParams(
             agc=kagc.AgcParams(
@@ -56,15 +56,15 @@ def _make_kernel(params: AmBackendParams):
         )
         W = wre_ref.shape[0]
         S = xre_ref.shape[0]
-        # warmup validity is a prefix property: lane l (global chunk index
-        # i*LANES + l) has min(W, chunk_index*S) real history samples, i.e.
-        # warmup step t is valid iff t >= W - valid_count[l]. Deriving it
-        # here saves a whole (W, LANES) operand (and its double buffer) of
-        # VMEM -- the difference between fitting 16M-sample blocks or not.
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-        chunk_idx = pl.program_id(0) * LANES + lane
-        valid_count = jnp.minimum(W, chunk_idx * S)
-        t_start = W - valid_count  # (1, LANES)
+        # warmup validity is a prefix property: lane l's chunk has some
+        # number of real history samples, i.e. warmup step t is valid iff
+        # t >= t_start[l]. A (1, LANES) i32 operand instead of a
+        # (W, LANES) mask keeps VMEM flat -- the difference between
+        # fitting 16M-sample blocks or not -- and, computed by the caller,
+        # lets lanes carry chunks of DIFFERENT streams (the batched
+        # multi-channel front), where the chunk index within a stream is
+        # not derivable from the lane index alone.
+        t_start = ts_ref[...]  # (1, LANES)
 
         def warm_body(t, st):
             xr = wre_ref[t, :][None, :]
@@ -96,26 +96,39 @@ def _make_kernel(params: AmBackendParams):
     return kernel
 
 
-def am_backend_chunked_pallas(params: AmBackendParams, state: AmBackendState,
-                              x, chunk: int = 1024, warmup: int = 4096,
-                              interpret: bool = False):
-    """Fused back end over a 1-D complex block. Feedback core in the
-    Pallas kernel (chunk-warmup scheme as kernels/agc.agc_apply_chunked);
-    DC tracker + de-emphasis applied exactly afterwards.
-    Returns (state, (pcm, modes))."""
-    from ..kernels.am_backend import am_backend_exact
-    n = x.shape[0]
-    if n <= chunk + warmup:
-        return am_backend_exact(params, state, x)
-    nchunks = -(-n // chunk)
-    nlanes = -(-nchunks // LANES) * LANES
-    pad = nchunks * chunk - n
-    xp = jnp.pad(x, (0, pad + (nlanes - nchunks) * chunk))
-    xc = xp.reshape(nlanes, chunk).T
-    wpad = jnp.concatenate([jnp.zeros((warmup,), x.dtype), xp])
-    starts = jnp.arange(nlanes) * chunk
-    widx = starts[None, :] + jnp.arange(warmup)[:, None]
-    wwin = wpad[widx]
+def front_chunked_pallas(params: AmBackendParams, state: FrontState, x,
+                         chunk: int = 1024, warmup: int = 4096,
+                         interpret: bool = False):
+    """Batched chunk-parallel AGC+PLL front in one Pallas VMEM kernel.
+
+    x: (C, L) complex64 -- C independent streams (receiver-bank channels)
+    with per-stream carried state (FrontState leaves shaped (C,)). Lanes
+    carry (stream, chunk) pairs: stream c's chunk i lands on lane
+    c*nchunks + i, so one kernel launch runs every chunk of every channel
+    in parallel; per-lane warmup windows re-derive chunk entry states from
+    each stream's own history (kernels/am_backend.front_chunked is the
+    XLA twin). Returns (FrontState (C,), (vr (C, L) f32, modes (C, L) i32)).
+    """
+    from ..kernels.am_backend import front_exact
+    C, L = x.shape
+    if L <= chunk + warmup:
+        return jax.vmap(lambda s, xs: front_exact(params, s, xs))(state, x)
+    nchunks = -(-L // chunk)
+    pad = nchunks * chunk - L
+    nl = C * nchunks
+    nlanes = -(-nl // LANES) * LANES
+    xp = jnp.pad(x, ((0, 0), (0, pad)))            # (C, nchunks*chunk)
+    xc = jnp.pad(xp.reshape(nl, chunk), ((0, nlanes - nl), (0, 0))).T
+    # per-stream warmup windows: zeros precede each stream's first sample
+    wpad = jnp.pad(xp, ((0, 0), (warmup, 0)))
+    widx = (jnp.arange(nchunks) * chunk)[:, None] + jnp.arange(warmup)[None, :]
+    wwin = wpad[:, widx].reshape(nl, warmup)       # (C*nchunks, warmup)
+    wwin = jnp.pad(wwin, ((0, nlanes - nl), (0, 0))).T
+    # warmup validity start per lane: chunk i of any stream has
+    # min(warmup, i*chunk) samples of real history
+    ci = jnp.pad(jnp.tile(jnp.arange(nchunks), C), (0, nlanes - nl))
+    tstart = (warmup - jnp.minimum(warmup, ci * chunk)).astype(
+        jnp.int32)[None, :]
 
     scal = jnp.stack([
         params.agc.alpha, params.agc.locked.astype(jnp.float32),
@@ -127,7 +140,8 @@ def am_backend_chunked_pallas(params: AmBackendParams, state: AmBackendState,
     ])
 
     def bvec(v, dtype):
-        return jnp.broadcast_to(jnp.asarray(v, dtype), (1, nlanes))
+        r = jnp.repeat(jnp.asarray(v, dtype), nchunks)  # lane c*nchunks+i
+        return jnp.pad(r, (0, nlanes - nl))[None, :]
 
     init_vecs = [
         bvec(state.agc.g, jnp.float32), bvec(state.agc.y2p, jnp.float32),
@@ -155,33 +169,58 @@ def am_backend_chunked_pallas(params: AmBackendParams, state: AmBackendState,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   mat((warmup, LANES)), mat((warmup, LANES)),
                   mat((chunk, LANES)), mat((chunk, LANES)),
-                  vec, vec, vec, vec, vec, vec],
+                  vec, vec, vec, vec, vec, vec, vec],
         out_specs=(mat((chunk, LANES)), mat((chunk, LANES)),
                    vec, vec, vec, vec, vec, vec),
         out_shape=out_shapes,
         interpret=interpret,
     )(scal, wwin.real.astype(jnp.float32), wwin.imag.astype(jnp.float32),
       xc.real.astype(jnp.float32), xc.imag.astype(jnp.float32),
-      *init_vecs)
+      *init_vecs, tstart)
     vr_t, modes_t = res[0], res[1]
     gN, y2pN, modeN, timerN, thN, frN = res[2:]
-    vr = vr_t.T.reshape(-1)[:n]
-    modes = modes_t.T.reshape(-1)[:n].astype(jnp.int32)
+    vr = vr_t.T[:nl].reshape(C, nchunks * chunk)[:, :L]
+    modes = modes_t.T[:nl].reshape(C, nchunks * chunk)[:, :L].astype(jnp.int32)
 
-    last = nchunks - 1
+    last = jnp.arange(C) * nchunks + (nchunks - 1)
     front = FrontState(
-        agc=AgcState(gN[0, last], y2pN[0, last], modeN[0, last], timerN[0, last]),
+        agc=AgcState(gN[0, last], y2pN[0, last], modeN[0, last],
+                     timerN[0, last]),
         pll=PllState(thN[0, last], frN[0, last]))
     if pad:
+        # last chunk of every stream was zero-padded: re-derive each
+        # stream's carried state exactly from its unpadded tail, starting
+        # from the last chunk's (warmup-derived) entry state
         prev = last - 1
         st0 = FrontState(
             agc=AgcState(gN[0, prev], y2pN[0, prev], modeN[0, prev],
                          timerN[0, prev]),
             pll=PllState(thN[0, prev], frN[0, prev]))
-        front, _ = front_exact(params, st0, x[last * chunk:])
+        front, _ = jax.vmap(lambda s, xs: front_exact(params, s, xs))(
+            st0, x[:, (nchunks - 1) * chunk:])
+    return front, (vr, modes)
 
+
+def am_backend_chunked_pallas(params: AmBackendParams, state: AmBackendState,
+                              x, chunk: int = 1024, warmup: int = 4096,
+                              interpret: bool = False):
+    """Fused back end over a 1-D complex block. Feedback core in the
+    Pallas kernel (a C=1 batch of front_chunked_pallas); DC tracker +
+    de-emphasis applied exactly afterwards as block-parallel first-order
+    scans. Returns (state, (pcm, modes))."""
+    from ..kernels.am_backend import am_backend_exact
+    n = x.shape[0]
+    if n <= chunk + warmup:
+        return am_backend_exact(params, state, x)
+    st1 = jax.tree.map(lambda v: jnp.asarray(v)[None],
+                       FrontState(state.agc, state.pll))
+    front, (vr, modes) = front_chunked_pallas(
+        params, st1, x[None, :], chunk=chunk, warmup=warmup,
+        interpret=interpret)
+    front = jax.tree.map(lambda v: v[0], front)
     # exact linear tail: DC tracker + de-emphasis as associative scans
-    (dc_last, de_last), pcm = linear_tail(params, state.dc, state.deemph, vr)
+    (dc_last, de_last), pcm = linear_tail(params, state.dc, state.deemph,
+                                          vr[0])
     new_state = AmBackendState(agc=front.agc, pll=front.pll,
                                dc=dc_last, deemph=de_last)
-    return new_state, (pcm, modes)
+    return new_state, (pcm, modes[0])

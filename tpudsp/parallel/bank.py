@@ -154,6 +154,10 @@ class ShardedBank:
     single-chip chains/bank.py bank_step exactly (tested)."""
 
     def __init__(self, cfg: BankConfig, mesh: Mesh, block_len: int):
+        if cfg.am_coherent:
+            raise NotImplementedError(
+                "ShardedBank runs the envelope AM path; am_coherent's "
+                "feedback scans are single-device for now (use ReceiverBank)")
         D = cfg.decim1 * cfg.decim2
         n_time = mesh.shape[TIME_AXIS]
         n_chan = mesh.shape[CHANNEL_AXIS]
