@@ -93,6 +93,42 @@ def test_channelized_fm_bank():
         assert abs(peak - f_msg) < 0.02 * chan_rate, (c, peak, f_msg)
 
 
+def test_channelized_am_bank_coherent():
+    """AM stations through the channelized bank with the coherent back
+    end (AGC + carrier PLL + DC tracker): audio recovered DC-free, with
+    carried state across blocks (streamed in halves)."""
+    C = 32
+    iq_rate = 3_200_000.0
+    chan_rate = iq_rate / C  # 100 kHz
+    cfg = ChannelizedBankConfig(
+        channelizer=ChannelizerConfig(nchan=C, taps_per_branch=8,
+                                      iq_rate=iq_rate),
+        demod="am", am_coherent=True)
+    # the DC tracker's memory is ~2000 channel-rate samples (DC_RHO
+    # 0.9995): give it >= 6 time constants before measuring
+    n = C * 16384
+    t = np.arange(n)
+    stations = {5: 1000.0, 20: 2500.0}
+    x = 0
+    for c, f_msg in stations.items():
+        m = np.sin(2 * np.pi * f_msg / iq_rate * t)
+        # small carrier offset within the PLL pull range
+        x = x + (1 + 0.5 * m) * 0.4 * np.exp(
+            2j * np.pi * ((c / C) + 15.0 / iq_rate) * t)
+    x = (x / len(stations)).astype(np.complex64)
+    bank = ChannelizedBank(cfg, block_len=n // 2)
+    audio = np.concatenate(
+        [np.asarray(bank(x[: n // 2])), np.asarray(bank(x[n // 2:]))], axis=1)
+    assert audio.shape == (C, n // C)
+    for c, f_msg in stations.items():
+        tail = audio[c, 3 * audio.shape[1] // 4:]
+        assert abs(tail.mean()) < 0.05 * np.abs(tail).max(), (c, tail.mean())
+        spec = np.abs(np.fft.rfft(tail * np.hanning(len(tail))))
+        freqs = np.fft.rfftfreq(len(tail), 1.0 / chan_rate)
+        peak = freqs[np.argmax(spec[3:]) + 3]
+        assert abs(peak - f_msg) < 0.02 * chan_rate, (c, peak, f_msg)
+
+
 def _os2_oracle(h, C, x, M):
     """Brute-force Y[m,c] = sum_l h[l] x[mR-l] e^{2 pi j c l / C}
     e^{-2 pi j c m R / C}, R = C/2, x[<0] = 0."""

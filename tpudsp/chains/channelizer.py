@@ -29,7 +29,10 @@ import jax
 import jax.numpy as jnp
 
 from ..design import firdes, iirdes
+from ..kernels import agc as kagc
+from ..kernels import am_backend as kab
 from ..kernels import iir as kiir
+from ..kernels.pll import PllState
 
 TWO_PI = 2.0 * np.pi
 
@@ -141,6 +144,8 @@ class DemodBankState(NamedTuple):
     ch: ChannelizerState
     fd_prev: jnp.ndarray   # (C,) complex64
     deemph: jnp.ndarray    # (C,) float32
+    front: object = None   # kab.FrontState (C,) when cfg.am_coherent
+    dc: object = None      # (C,) f32 DC-tracker carry (coherent AM)
 
 
 @dataclass(frozen=True)
@@ -149,51 +154,87 @@ class ChannelizedBankConfig:
     demod: str = "fm"
     kd: float = 0.3125     # at the channel rate (see chains/bank.py)
     deemph_tau: float = 75e-6
+    # Full coherent back end for demod='am' (per-channel AGC + carrier
+    # PLL + DC tracker, chains/bank.py's scheme) instead of raw envelope
+    am_coherent: bool = False
+    agc_bandwidth: float = 0.01
+    agc_scale: float = 1.0
+    modulation: float = 1.0
 
 
 def bank_build(cfg: ChannelizedBankConfig):
     Ht, ch_state = build(cfg.channelizer)
     C = cfg.channelizer.nchan
     b0, a = iirdes.deemphasis_coeffs(cfg.channelizer.chan_rate, cfg.deemph_tau)
-    params = (Ht, jnp.float32(b0), jnp.float32(a))
+    front = dc0 = amb = None
+    if cfg.demod == "am" and cfg.am_coherent:
+        amb = kab.make_params(
+            kagc.make_params(alpha=cfg.agc_bandwidth, scale=cfg.agc_scale),
+            cfg.modulation, b0, a, carrier=True)
+        front = kab.FrontState(
+            agc=jax.tree.map(lambda v: jnp.broadcast_to(v, (C,)),
+                             kagc.agc_init()),
+            pll=PllState(jnp.zeros((C,), jnp.float32),
+                         jnp.zeros((C,), jnp.float32)))
+        dc0 = jnp.zeros((C,), jnp.float32)
+    params = (Ht, jnp.float32(b0), jnp.float32(a), amb)
     state = DemodBankState(
         ch=ch_state,
         fd_prev=jnp.full((C,), 1.0 + 0.0j, jnp.complex64),
         deemph=jnp.zeros((C,), jnp.float32),
+        front=front, dc=dc0,
     )
     return params, state
 
 
-def bank_step(params, state: DemodBankState, x, *, cfg: ChannelizedBankConfig):
+def bank_step(params, state: DemodBankState, x, *, cfg: ChannelizedBankConfig,
+              backend: str = "xla"):
     """100 Msps IQ block -> (state, audio (C, M)): channelize then demod
-    every channel (freqdem + de-emphasis for FM; envelope for AM)."""
-    Ht, b0, a = params
+    every channel (freqdem + de-emphasis for FM; envelope or the coherent
+    AGC+PLL+DC back end for AM)."""
+    Ht, b0, a, amb = params
     ch_state, Y = channelize(Ht, state.ch, x,
                              os=cfg.channelizer.oversample)  # (M, C)
     Yc = Y.T                                       # (C, M)
+    front, dc = state.front, state.dc
     if cfg.demod == "fm":
         xprev = jnp.concatenate([state.fd_prev[:, None], Yc[:, :-1]], axis=1)
         d = Yc * jnp.conj(xprev)
         base = jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
             TWO_PI * cfg.kd)
+    elif cfg.am_coherent:
+        if backend == "pallas":
+            from ..pallas import enabled
+            from ..pallas.am_backend_scan import front_chunked_pallas
+            front, (vr, _modes) = front_chunked_pallas(
+                amb, state.front, Yc, interpret=not enabled())
+        else:
+            front, (vr, _modes) = jax.vmap(
+                lambda s, xs: kab.front_chunked(amb, s, xs))(state.front, Yc)
+        dc, dct = jax.vmap(
+            lambda d0, v: kiir.first_order_apply(
+                1.0 - amb.dc_rho, amb.dc_rho, d0, v))(state.dc, vr)
+        base = (vr - dct) * amb.inv_mod
     else:
         base = jnp.abs(Yc).astype(jnp.float32)
     fd_prev = Yc[:, -1]
     deemph, audio = jax.vmap(
         lambda y0, xs: kiir.first_order_apply(b0, a, y0, xs)
     )(state.deemph, base)
-    return DemodBankState(ch_state, fd_prev, deemph), audio
+    return DemodBankState(ch_state, fd_prev, deemph, front, dc), audio
 
 
 class ChannelizedBank:
     def __init__(self, cfg: ChannelizedBankConfig = ChannelizedBankConfig(),
-                 block_len: int = 1 << 20):
+                 block_len: int = 1 << 20, backend: str = "xla"):
         if block_len % cfg.channelizer.nchan:
             raise ValueError("block_len must be a multiple of nchan")
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r} (use 'xla' or 'pallas')")
         self.cfg = cfg
         self.block_len = block_len
         self.params, self.state = bank_build(cfg)
-        self._step = jax.jit(partial(bank_step, cfg=cfg))
+        self._step = jax.jit(partial(bank_step, cfg=cfg, backend=backend))
 
     def __call__(self, iq):
         iq = jnp.asarray(iq, jnp.complex64)

@@ -260,6 +260,10 @@ class ShardedChannelizedBank:
     def __init__(self, cfg: ChannelizedBankConfig, mesh: Mesh,
                  block_len: int, axis_name: str | None = None,
                  c1: int | None = None):
+        if getattr(cfg, "am_coherent", False):
+            raise NotImplementedError(
+                "ShardedChannelizedBank runs the envelope AM path; "
+                "am_coherent's feedback scans are single-device for now")
         ccfg = cfg.channelizer
         sc = ShardedChannelizer(ccfg, mesh, block_len, axis_name, c1)
         self.cfg = cfg

@@ -72,7 +72,7 @@ def scanner_step(params, state: DemodBankState, x_local, *, cfg: ChannelizedBank
     boundary samples come from the left time neighbor (overlap-save
     exchange over ICI/DCN); the leftmost shard uses the block-carried tail."""
     from .halo import left_halo
-    Ht, b0, a = params
+    Ht, b0, a, _amb = params  # coherent-AM back end is single-device only
     T, C = Ht.shape
     halo = (T - 1) * C + C - 1
     tail_local = left_halo(x_local, halo, TIME_AXIS, state.ch.tail)
@@ -107,6 +107,10 @@ class ShardedScanner:
     mesh over jax.devices() after init_distributed."""
 
     def __init__(self, cfg: ChannelizedBankConfig, mesh: Mesh, block_len: int):
+        if getattr(cfg, "am_coherent", False):
+            raise NotImplementedError(
+                "ShardedScanner runs the envelope AM path; am_coherent's "
+                "feedback scans are single-device for now (ChannelizedBank)")
         C = cfg.channelizer.nchan
         n_time = mesh.shape[TIME_AXIS]
         if block_len % (C * n_time):
