@@ -46,6 +46,51 @@ def test_sharded_bank_matches_single_chip(mesh_shape):
     assert snr_db(y_ref, y) > 80.0
 
 
+def _am_iq(n, iq_rate, freqs):
+    t = np.arange(n)
+    out = 0
+    for i, f in enumerate(freqs):
+        m = np.sin(2 * np.pi * (900.0 + 500.0 * i) / iq_rate * t)
+        out = out + (1 + 0.5 * m) * 0.3 * np.exp(
+            2j * np.pi * (f + 20.0 + 5.0 * i) / iq_rate * t)
+    return (out / len(freqs)).astype(np.complex64)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 4)])
+def test_sharded_bank_coherent_am(mesh_shape):
+    """Time-sharded coherent AM back end: the warmup window rides a
+    ppermute halo (entry-state re-derivation at shard boundaries, same
+    scheme as the chunked kernels). A (1, 1) mesh is exact; a sharded
+    mesh is the documented warmup approximation."""
+    iq_rate = 2_400_000.0
+    n = 400_000
+    freqs = (250_000.0, -400_000.0, 100_000.0, -150_000.0)
+    cfg = BankConfig(freqs=freqs, iq_rate=iq_rate, demod="am",
+                     am_coherent=True)
+    iq = _am_iq(n, iq_rate, freqs)
+
+    ref_bank = ReceiverBank(cfg, block_len=n)
+    y_ref = np.asarray(ref_bank(iq))
+
+    mesh = make_mesh(*mesh_shape)
+    sb = ShardedBank(cfg, mesh, block_len=n)
+    y = np.asarray(sb(iq))
+    assert y.shape == y_ref.shape
+    settle = y.shape[1] // 4  # AGC/PLL/DC-tracker acquisition
+    floor = (1, 1) == mesh_shape and 80.0 or 55.0
+    assert snr_db(y_ref[:, settle:], y[:, settle:]) > floor
+    # second block exercises the carried front/dc state
+    y2 = np.asarray(sb(iq))
+    assert np.isfinite(y2).all()
+
+
+def test_sharded_bank_coherent_mixed_rejected():
+    cfg = BankConfig(freqs=(1e5, -1e5), iq_rate=2_400_000.0,
+                     demod=("fm", "am"), am_coherent=True)
+    with pytest.raises(NotImplementedError):
+        ShardedBank(cfg, make_mesh(1, 1), block_len=100_000)
+
+
 def test_sharded_bank_streaming_state():
     """Carried state across blocks must match the single-chip bank:
     the same stream split into blocks gives the same audio."""

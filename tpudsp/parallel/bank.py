@@ -78,6 +78,42 @@ def _deemph_time_sharded(b0, a, y0, x_local):
     return y_local[..., -1], y_local
 
 
+def _coherent_am_time_sharded(params: BankParams, state: BankState, y1,
+                              warmup: int = 4096):
+    """Coherent AM back end (AGC + carrier PLL + DC tracker) across time
+    shards: the warmup-chunk scheme IS the time-sharding scheme -- each
+    shard's feedback-loop entry state is re-derived from a `warmup`-sample
+    baseband halo fetched from the left time neighbor (one ppermute),
+    exactly as a chunk's entry state is re-derived inside
+    kernels/am_backend.front_chunked (which then runs locally, chunked
+    again for on-chip parallelism). The globally-first shard starts from
+    the block-carried state directly. The DC tracker is a first-order
+    linear recurrence and crosses shards exactly via the transition-
+    aggregate prefix scan. Returns (front (C_loc,), dc (C_loc,), base)."""
+    from ..kernels import am_backend as kab
+    nj1 = y1.shape[1]
+    w = min(warmup, nj1)
+    halo = _left_halo_1d(y1, w, jnp.zeros((y1.shape[0], w), y1.dtype))
+    not_first = lax.axis_index(TIME_AXIS) > 0
+
+    def warm(st0, xs):
+        def step(st, xn):
+            st2, _ = kab.front_sample_step(
+                params.amb, st, xn.real.astype(jnp.float32),
+                xn.imag.astype(jnp.float32))
+            return jax.tree.map(
+                lambda a2, b2: jnp.where(not_first, a2, b2), st2, st), None
+        st_out, _ = lax.scan(step, st0, xs)
+        return st_out
+
+    entry = jax.vmap(warm)(state.front, halo)
+    front, (vr, _modes) = jax.vmap(
+        lambda s, xs: kab.front_chunked(params.amb, s, xs))(entry, y1)
+    dc, dct = _deemph_time_sharded(
+        1.0 - params.amb.dc_rho, params.amb.dc_rho, state.dc, vr)
+    return front, dc, (vr - dct) * params.amb.inv_mod
+
+
 def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig):
     """Per-shard body (call under shard_map). iq: local (N_loc,) slice.
     params.taps_*/dtheta/h2 carry a local channel shard; state fields are
@@ -111,10 +147,14 @@ def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConf
         return jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
             TWO_PI * cfg.kd)
 
+    front, dc = state.front, state.dc
     if cfg.demod == "fm":
         base = fm_base()
     elif cfg.demod == "am":
-        base = jnp.abs(y1).astype(jnp.float32)
+        if cfg.am_coherent:
+            front, dc, base = _coherent_am_time_sharded(params, state, y1)
+        else:
+            base = jnp.abs(y1).astype(jnp.float32)
     else:  # mixed: branch-free per-channel dispatch (EP analog)
         base = jnp.where(params.fm_mask[:, None], fm_base(),
                          jnp.abs(y1).astype(jnp.float32))
@@ -138,6 +178,8 @@ def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConf
         fd_prev=fd_prev[:, None],                   # (C_loc, 1)   -> (C, T)
         a_tail=A[:, None, -(K2 - 1):],              # (C_loc,1,K2-1)->(C,T,K2-1)
         deemph=deemph[:, None],                     # (C_loc, 1)   -> (C, T)
+        front=jax.tree.map(lambda v: v[:, None], front),  # (C_loc,1)->(C,T)
+        dc=None if dc is None else dc[:, None],
     )
     return new_state, audio
 
@@ -154,10 +196,11 @@ class ShardedBank:
     single-chip chains/bank.py bank_step exactly (tested)."""
 
     def __init__(self, cfg: BankConfig, mesh: Mesh, block_len: int):
-        if cfg.am_coherent:
+        if cfg.am_coherent and cfg.demod != "am":
             raise NotImplementedError(
-                "ShardedBank runs the envelope AM path; am_coherent's "
-                "feedback scans are single-device for now (use ReceiverBank)")
+                "sharded am_coherent needs a uniform demod='am' bank "
+                "(per-channel dispatch is not static inside shard_map); "
+                "use ReceiverBank for mixed coherent banks")
         D = cfg.decim1 * cfg.decim2
         n_time = mesh.shape[TIME_AXIS]
         n_chan = mesh.shape[CHANNEL_AXIS]
@@ -170,14 +213,27 @@ class ShardedBank:
         self.block_len = block_len
         self.params, self.state = build(cfg)
 
+        coherent = cfg.am_coherent and cfg.demod == "am"
+        front_spec = dc_spec = None
+        front_out = dc_out = None
+        if coherent:
+            front_spec = jax.tree.map(lambda _: P(CHANNEL_AXIS),
+                                      self.state.front)
+            dc_spec = P(CHANNEL_AXIS)
+            front_out = jax.tree.map(lambda _: P(CHANNEL_AXIS, TIME_AXIS),
+                                     self.state.front)
+            dc_out = P(CHANNEL_AXIS, TIME_AXIS)
         param_specs = BankParams(
             taps_re=P(CHANNEL_AXIS), taps_im=P(CHANNEL_AXIS),
             dtheta=P(CHANNEL_AXIS), h2=P(),  # audio taps shared
             deemph_b0=P(), deemph_a=P(), fm_mask=P(CHANNEL_AXIS),
+            amb=None if self.params.amb is None
+            else jax.tree.map(lambda _: P(), self.params.amb),
         )
         state_specs = BankState(
             in_tail=P(), phase=P(CHANNEL_AXIS), n0=P(),
             fd_prev=P(CHANNEL_AXIS), a_tail=P(CHANNEL_AXIS), deemph=P(CHANNEL_AXIS),
+            front=front_spec, dc=dc_spec,
         )
         body = partial(sharded_bank_step, cfg=cfg)
         mapped = jax.shard_map(
@@ -188,6 +244,7 @@ class ShardedBank:
                 fd_prev=P(CHANNEL_AXIS, TIME_AXIS),
                 a_tail=P(CHANNEL_AXIS, TIME_AXIS, None),
                 deemph=P(CHANNEL_AXIS, TIME_AXIS),
+                front=front_out, dc=dc_out,
             ), P(CHANNEL_AXIS, TIME_AXIS)),
             check_vma=False,
         )
@@ -203,6 +260,8 @@ class ShardedBank:
                 fd_prev=st.fd_prev[:, -1],
                 a_tail=st.a_tail[:, -1, :],
                 deemph=st.deemph[:, -1],
+                front=jax.tree.map(lambda v: v[:, -1], st.front),
+                dc=None if st.dc is None else st.dc[:, -1],
             )
             return new_state, audio
 
