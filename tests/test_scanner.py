@@ -41,6 +41,36 @@ def test_scanner_matches_single_chip():
     assert snr_db(y_ref, y) > 80.0
 
 
+def test_scanner_coherent_am_matches_single_chip():
+    """Coherent AM back end across time shards (warmup halo scheme):
+    tracks the single-chip ChannelizedBank within the documented warmup
+    approximation, and exactly on a 1-shard mesh."""
+    C = 32
+    cfg = ChannelizedBankConfig(
+        channelizer=ChannelizerConfig(nchan=C, taps_per_branch=6,
+                                      iq_rate=3_200_000.0),
+        demod="am", am_coherent=True)
+    n = C * 16384
+    t = np.arange(n)
+    x = sum((1 + 0.5 * np.sin(2 * np.pi * 0.0004 * (i + 1) * t)) * 0.4
+            * np.exp(2j * np.pi * (c / C + 4e-6) * t)
+            for i, c in enumerate((3, 11, 25)))
+    iq = (x / 3).astype(np.complex64)
+    ref = ChannelizedBank(cfg, block_len=n)
+    y_ref = np.asarray(ref(iq))
+    for shards, floor in ((1, 80.0), (8, 55.0)):
+        sc = ShardedScanner(cfg, make_mesh(1, shards), block_len=n)
+        y = np.asarray(sc(iq))
+        assert y.shape == y_ref.shape
+        settle = y.shape[1] // 4
+        # compare the OCCUPIED channels: on empty ones the AGC runs to its
+        # gain clamp amplifying float leakage, so shard-boundary state
+        # differences there are meaningless noise, not demod error
+        for c in (3, 11, 25):
+            got = snr_db(y_ref[c, settle:], y[c, settle:])
+            assert got > floor, (shards, c, got)
+
+
 def test_scanner_streaming_blocks():
     C = 32
     cfg = _cfg(C)

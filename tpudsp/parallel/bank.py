@@ -78,8 +78,7 @@ def _deemph_time_sharded(b0, a, y0, x_local):
     return y_local[..., -1], y_local
 
 
-def _coherent_am_time_sharded(params: BankParams, state: BankState, y1,
-                              warmup: int = 4096):
+def coherent_am_time_sharded(amb, front0, dc0, y1, warmup: int = 4096):
     """Coherent AM back end (AGC + carrier PLL + DC tracker) across time
     shards: the warmup-chunk scheme IS the time-sharding scheme -- each
     shard's feedback-loop entry state is re-derived from a `warmup`-sample
@@ -89,7 +88,10 @@ def _coherent_am_time_sharded(params: BankParams, state: BankState, y1,
     again for on-chip parallelism). The globally-first shard starts from
     the block-carried state directly. The DC tracker is a first-order
     linear recurrence and crosses shards exactly via the transition-
-    aggregate prefix scan. Returns (front (C_loc,), dc (C_loc,), base)."""
+    aggregate prefix scan.
+
+    amb: kab.AmBackendParams; front0: FrontState (C_loc,); dc0: (C_loc,);
+    y1: (C_loc, M_loc) local baseband. Returns (front, dc, base)."""
     from ..kernels import am_backend as kab
     nj1 = y1.shape[1]
     w = min(warmup, nj1)
@@ -99,19 +101,18 @@ def _coherent_am_time_sharded(params: BankParams, state: BankState, y1,
     def warm(st0, xs):
         def step(st, xn):
             st2, _ = kab.front_sample_step(
-                params.amb, st, xn.real.astype(jnp.float32),
+                amb, st, xn.real.astype(jnp.float32),
                 xn.imag.astype(jnp.float32))
             return jax.tree.map(
                 lambda a2, b2: jnp.where(not_first, a2, b2), st2, st), None
         st_out, _ = lax.scan(step, st0, xs)
         return st_out
 
-    entry = jax.vmap(warm)(state.front, halo)
+    entry = jax.vmap(warm)(front0, halo)
     front, (vr, _modes) = jax.vmap(
-        lambda s, xs: kab.front_chunked(params.amb, s, xs))(entry, y1)
-    dc, dct = _deemph_time_sharded(
-        1.0 - params.amb.dc_rho, params.amb.dc_rho, state.dc, vr)
-    return front, dc, (vr - dct) * params.amb.inv_mod
+        lambda s, xs: kab.front_chunked(amb, s, xs))(entry, y1)
+    dc, dct = _deemph_time_sharded(1.0 - amb.dc_rho, amb.dc_rho, dc0, vr)
+    return front, dc, (vr - dct) * amb.inv_mod
 
 
 def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig):
@@ -152,7 +153,8 @@ def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConf
         base = fm_base()
     elif cfg.demod == "am":
         if cfg.am_coherent:
-            front, dc, base = _coherent_am_time_sharded(params, state, y1)
+            front, dc, base = coherent_am_time_sharded(
+                params.amb, state.front, state.dc, y1)
         else:
             base = jnp.abs(y1).astype(jnp.float32)
     else:  # mixed: branch-free per-channel dispatch (EP analog)

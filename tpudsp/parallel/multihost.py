@@ -72,19 +72,25 @@ def scanner_step(params, state: DemodBankState, x_local, *, cfg: ChannelizedBank
     boundary samples come from the left time neighbor (overlap-save
     exchange over ICI/DCN); the leftmost shard uses the block-carried tail."""
     from .halo import left_halo
-    Ht, b0, a, _amb = params  # coherent-AM back end is single-device only
+    Ht, b0, a, amb = params
     T, C = Ht.shape
     halo = (T - 1) * C + C - 1
     tail_local = left_halo(x_local, halo, TIME_AXIS, state.ch.tail)
     new_tail, Y = _channelize_local(Ht, tail_local, x_local)
     Yc = Y.T  # (C, M_loc)
 
+    front, dc = state.front, state.dc
     if cfg.demod == "fm":
         prev = left_halo(Yc, 1, TIME_AXIS, state.fd_prev[:, None])
         xprev = jnp.concatenate([prev, Yc[:, :-1]], axis=1)
         d = Yc * jnp.conj(xprev)
         base = jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
             TWO_PI * cfg.kd)
+    elif cfg.am_coherent:
+        # coherent AM across time shards: warmup halo + chunked front
+        # (same scheme as parallel/bank.py)
+        from .bank import coherent_am_time_sharded
+        front, dc, base = coherent_am_time_sharded(amb, front, dc, Yc)
     else:
         base = jnp.abs(Yc).astype(jnp.float32)
 
@@ -97,6 +103,8 @@ def scanner_step(params, state: DemodBankState, x_local, *, cfg: ChannelizedBank
         ch=ChannelizerState(tail=new_tail[None, :]),
         fd_prev=Yc[:, -1:],
         deemph=deemph[:, None],
+        front=jax.tree.map(lambda v: v[:, None], front),
+        dc=None if dc is None else dc[:, None],
     )
     return new_state, audio
 
@@ -107,10 +115,10 @@ class ShardedScanner:
     mesh over jax.devices() after init_distributed."""
 
     def __init__(self, cfg: ChannelizedBankConfig, mesh: Mesh, block_len: int):
-        if getattr(cfg, "am_coherent", False):
+        if cfg.channelizer.oversample != 1:
             raise NotImplementedError(
-                "ShardedScanner runs the envelope AM path; am_coherent's "
-                "feedback scans are single-device for now (ChannelizedBank)")
+                "ShardedScanner channelizes critically sampled (os=1); "
+                "use ChannelizedBank or ShardedChannelizedBank for os=2")
         C = cfg.channelizer.nchan
         n_time = mesh.shape[TIME_AXIS]
         if block_len % (C * n_time):
@@ -120,14 +128,23 @@ class ShardedScanner:
         self.block_len = block_len
         self.params, self.state = bank_build(cfg)
 
+        coherent = self.state.front is not None
+        front_in = front_out = dc_in = dc_out = None
+        if coherent:
+            front_in = jax.tree.map(lambda _: P(), self.state.front)
+            front_out = jax.tree.map(lambda _: P(None, TIME_AXIS),
+                                     self.state.front)
+            dc_in, dc_out = P(), P(None, TIME_AXIS)
         mapped = jax.shard_map(
             partial(scanner_step, cfg=cfg), mesh=mesh,
             in_specs=(P(), DemodBankState(
                 ch=ChannelizerState(tail=P()),
-                fd_prev=P(), deemph=P()), P(TIME_AXIS)),
+                fd_prev=P(), deemph=P(), front=front_in, dc=dc_in),
+                P(TIME_AXIS)),
             out_specs=(DemodBankState(
                 ch=ChannelizerState(tail=P(TIME_AXIS, None)),
-                fd_prev=P(None, TIME_AXIS), deemph=P(None, TIME_AXIS)),
+                fd_prev=P(None, TIME_AXIS), deemph=P(None, TIME_AXIS),
+                front=front_out, dc=dc_out),
                 P(None, TIME_AXIS)),
             check_vma=False,
         )
@@ -138,6 +155,8 @@ class ShardedScanner:
                 ch=ChannelizerState(tail=st.ch.tail[-1]),
                 fd_prev=st.fd_prev[:, -1],
                 deemph=st.deemph[:, -1],
+                front=jax.tree.map(lambda v: v[:, -1], st.front),
+                dc=None if st.dc is None else st.dc[:, -1],
             )
             return new_state, audio
 
