@@ -60,10 +60,14 @@ def _am_indices(cfg) -> tuple:
 class BankConfig:
     freqs: tuple          # per-channel center freqs in Hz
     iq_rate: float = 2_400_000.0
-    # 'fm' (freqdem+deemph), 'am' (envelope+deemph), or a per-channel tuple
-    # of those -- the EP-analog dispatch of SURVEY.md section 2.3: demod
-    # type selects a kernel per channel, executed branch-free as batched
-    # compute + mask select (no gather/scatter, no divergence)
+    # 'fm' (freqdem+deemph), 'am' (envelope, or the coherent back end with
+    # am_coherent), 'usb'/'lsb' (single sideband: the channel filter is
+    # one-sided, so demod is just Re of the synchronous baseband), or a
+    # per-channel tuple of those -- the EP-analog dispatch of SURVEY.md
+    # section 2.3: demod type selects a kernel per channel, executed
+    # branch-free as batched compute + mask select (no gather/scatter,
+    # no divergence); sideband selection costs nothing at run time
+    # because it lives in the per-channel modulated taps.
     demod: str | tuple = "fm"
     decim1: int = 10      # input rate -> channel rate
     decim2: int = 5       # channel rate -> audio rate
@@ -105,8 +109,9 @@ class BankParams(NamedTuple):
     h2: jnp.ndarray          # (Kc2, D2) blocked audio decimation taps (shared)
     deemph_b0: jnp.ndarray
     deemph_a: jnp.ndarray
-    fm_mask: jnp.ndarray     # (C,) bool: per-channel FM (True) / AM (False)
+    fm_mask: jnp.ndarray     # (C,) bool: per-channel FM discriminator
     amb: object = None       # AmBackendParams when cfg.am_coherent
+    ssb_mask: object = None  # (C,) bool: per-channel SSB (Re of baseband)
 
 
 class BankState(NamedTuple):
@@ -122,9 +127,18 @@ class BankState(NamedTuple):
 
 def build(cfg: BankConfig):
     C = cfg.nchan
-    # channel filter: lowpass at input rate covering the channel bandwidth
-    h1 = firdes.kaiser_lowpass(cfg.taps1, 0.45 / cfg.decim1, 60.0)
+    if not isinstance(cfg.demod, str) and len(cfg.demod) != C:
+        raise ValueError("per-channel demod tuple must match freqs")
+    demods = _demod_tuple(cfg)
+    bad = [d for d in demods if d not in ("fm", "am", "usb", "lsb")]
+    if bad:
+        raise ValueError(
+            f"unknown demod type(s) {bad!r} (use 'fm'/'am'/'usb'/'lsb')")
     k = np.arange(cfg.taps1)
+    # channel filter: full-width lowpass at the input rate (SSB sideband
+    # selection happens at the CHANNEL rate, where the filter transition
+    # is sharp enough for a one-sided edge at the carrier -- see h2s)
+    h1 = firdes.kaiser_lowpass(cfg.taps1, 0.45 / cfg.decim1, 60.0)
     w = np.array([TWO_PI * f / cfg.iq_rate for f in cfg.freqs])  # rad/sample
     # modulated taps h1[k] e^{+j w_c k}, flipped to correlation order and
     # D1-blocked for the MXU matmul front end (kernels/decimate.py)
@@ -134,17 +148,25 @@ def build(cfg: BankConfig):
     h2p = firdes.kaiser_lowpass(cfg.taps2, 0.45 / cfg.decim2, 60.0)[::-1]
     h2 = kdec.plan_phase_taps(h2p[None, :].astype(np.float32), cfg.decim2)[0]
     b0, a = iirdes.deemphasis_coeffs(cfg.audio_rate)
-    if isinstance(cfg.demod, str):
-        if cfg.demod not in ("fm", "am"):
-            raise ValueError(f"demod must be 'fm' or 'am', got {cfg.demod!r}")
-        fm_mask = np.full((C,), cfg.demod == "fm")
-    else:
-        if len(cfg.demod) != C:
-            raise ValueError("per-channel demod tuple must match freqs")
-        bad = [d for d in cfg.demod if d not in ("fm", "am")]
-        if bad:
-            raise ValueError(f"unknown demod type(s) {bad!r} (use 'fm'/'am')")
-        fm_mask = np.array([d == "fm" for d in cfg.demod])
+    fm_mask = np.array([d == "fm" for d in demods])
+    ssb_mask = np.array([d in ("usb", "lsb") for d in demods])
+    lsb_mask = np.array([d == "lsb" for d in demods])
+    # SSB audio decimator: HALF-width lowpass shifted to [0, 0.45/D2]
+    # cycles at the channel rate -- a one-sided (analytic) filter whose
+    # lower edge sits at the carrier. USB audio = Re(decim(y1, h2s));
+    # LSB mirrors by conjugating the baseband instead of the taps, so one
+    # shared tap set serves both. 64 taps at the channel rate give a
+    # ~(52/14.36/64) ~ 0.006-cycle transition (~1.4 kHz at 240 kHz).
+    h2s = None
+    if ssb_mask.any():
+        fsh2 = 0.225 / cfg.decim2
+        k2 = np.arange(cfg.taps2)
+        hs = (firdes.kaiser_lowpass(cfg.taps2, fsh2, 60.0)
+              * np.exp(2j * np.pi * fsh2 * k2))[::-1]
+        h2s = (kdec.plan_phase_taps(hs.real[None, :].astype(np.float32),
+                                    cfg.decim2)[0],
+               kdec.plan_phase_taps(hs.imag[None, :].astype(np.float32),
+                                    cfg.decim2)[0])
     dtheta = np.array(
         [np.uint32(int(round((wc % TWO_PI) / TWO_PI * 2**32)) & 0xFFFFFFFF) for wc in w],
         dtype=np.uint32)
@@ -166,6 +188,7 @@ def build(cfg: BankConfig):
         dtheta=jnp.asarray(dtheta), h2=jnp.asarray(h2),
         deemph_b0=jnp.float32(b0), deemph_a=jnp.float32(a),
         fm_mask=jnp.asarray(fm_mask), amb=amb,
+        ssb_mask=jnp.asarray(ssb_mask),
     )
     state = BankState(
         in_tail=jnp.zeros((cfg.taps1 - 1,), jnp.complex64),
@@ -232,10 +255,15 @@ def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig,
         base = _fm_base(y1, state.fd_prev, cfg.kd)
     elif cfg.demod == "am":
         base = jnp.abs(y1).astype(jnp.float32)
-    else:  # mixed bank: compute both batched, mask-select per channel
+    elif cfg.demod in ("usb", "lsb"):
+        # sideband selection is in the taps; synchronous demod is Re
+        base = y1.real.astype(jnp.float32)
+    else:  # mixed bank: compute all batched, mask-select per channel
         base = jnp.where(params.fm_mask[:, None],
                          _fm_base(y1, state.fd_prev, cfg.kd),
-                         jnp.abs(y1).astype(jnp.float32))
+                         jnp.where(params.ssb_mask[:, None],
+                                   y1.real.astype(jnp.float32),
+                                   jnp.abs(y1).astype(jnp.float32)))
     fd_prev = y1[:, -1]
 
     am_idx = _am_indices(cfg)

@@ -157,9 +157,13 @@ def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConf
                 params.amb, state.front, state.dc, y1)
         else:
             base = jnp.abs(y1).astype(jnp.float32)
+    elif cfg.demod in ("usb", "lsb"):
+        base = y1.real.astype(jnp.float32)
     else:  # mixed: branch-free per-channel dispatch (EP analog)
         base = jnp.where(params.fm_mask[:, None], fm_base(),
-                         jnp.abs(y1).astype(jnp.float32))
+                         jnp.where(params.ssb_mask[:, None],
+                                   y1.real.astype(jnp.float32),
+                                   jnp.abs(y1).astype(jnp.float32)))
     fd_prev = y1[:, -1]
 
     halo_a = _left_halo_1d(base, K2 - 1, state.a_tail)
@@ -231,6 +235,7 @@ class ShardedBank:
             deemph_b0=P(), deemph_a=P(), fm_mask=P(CHANNEL_AXIS),
             amb=None if self.params.amb is None
             else jax.tree.map(lambda _: P(), self.params.amb),
+            ssb_mask=P(CHANNEL_AXIS),
         )
         state_specs = BankState(
             in_tail=P(), phase=P(CHANNEL_AXIS), n0=P(),
