@@ -55,3 +55,26 @@ def test_pipeline_block_size_validation():
         pass
     else:
         raise AssertionError("short block must raise")
+
+
+def test_pipeline_flush_resets_stream():
+    """flush() terminates the stream: a new stream fed afterwards must
+    reproduce a fresh receiver's output (round-1 ADVICE: the drained
+    zero-block state used to leak into the next stream silently)."""
+    cfg = AMConfig()
+    block = 125_000
+    iq = _am_iq(2 * block, cfg, seed=7)
+
+    pipe = PipelinedAMReceiver(cfg, block_len=block, mesh=make_stage_mesh())
+    pipe(iq[:block])
+    pipe.flush()
+
+    # second stream through the SAME receiver
+    out = [pipe(iq[:block]), pipe(iq[block:]), pipe.flush()]
+    assert out[0] is None  # fill bubble again: stream restarted
+    got = np.concatenate([np.asarray(p) for p in out[1:]])
+
+    fresh = PipelinedAMReceiver(cfg, block_len=block, mesh=make_stage_mesh())
+    ref = [fresh(iq[:block]), fresh(iq[block:]), fresh.flush()]
+    want = np.concatenate([np.asarray(p) for p in ref[1:]])
+    np.testing.assert_array_equal(got, want)

@@ -61,13 +61,15 @@ class BankConfig:
     freqs: tuple          # per-channel center freqs in Hz
     iq_rate: float = 2_400_000.0
     # 'fm' (freqdem+deemph), 'am' (envelope, or the coherent back end with
-    # am_coherent), 'usb'/'lsb' (single sideband: the channel filter is
-    # one-sided, so demod is just Re of the synchronous baseband), or a
+    # am_coherent), 'usb'/'lsb' (single sideband: the complex baseband is
+    # decimated through a shared one-sided/analytic audio filter h2s and
+    # Re taken -- sideband selection at the channel rate, where the
+    # transition band is sharp enough for a one-sided edge at the
+    # carrier; lsb conjugates the baseband to reuse the usb taps), or a
     # per-channel tuple of those -- the EP-analog dispatch of SURVEY.md
     # section 2.3: demod type selects a kernel per channel, executed
     # branch-free as batched compute + mask select (no gather/scatter,
-    # no divergence); sideband selection costs nothing at run time
-    # because it lives in the per-channel modulated taps.
+    # no divergence).
     demod: str | tuple = "fm"
     decim1: int = 10      # input rate -> channel rate
     decim2: int = 5       # channel rate -> audio rate
@@ -78,6 +80,13 @@ class BankConfig:
     kd: float = 0.3125
     taps1: int = 128      # channel filter length (multiple of 8 for MXU)
     taps2: int = 64       # audio filter length
+    # SSB sideband-split filter length (at the channel rate). The split
+    # quality is set by this filter's transition width ~ (As-8)/(14.36 N)
+    # cycles: 512 taps at a 240 kHz channel rate give a ~1.7 kHz
+    # transition centered on the carrier (full stopband rejection beyond
+    # ~850 Hz into the wrong sideband); raise it for 300 Hz-grade voice
+    # edges. Cost is one blocked matmul at the channel rate.
+    taps2_ssb: int = 512
     # Full coherent back end for the AM channels (AGC gain loop -> carrier
     # PLL -> DC tracker, the single-channel chain's kernels/am_backend.py)
     # instead of the bare envelope |y1|: batched over the AM channels via
@@ -111,7 +120,10 @@ class BankParams(NamedTuple):
     deemph_a: jnp.ndarray
     fm_mask: jnp.ndarray     # (C,) bool: per-channel FM discriminator
     amb: object = None       # AmBackendParams when cfg.am_coherent
-    ssb_mask: object = None  # (C,) bool: per-channel SSB (Re of baseband)
+    ssb_mask: object = None  # (C,) bool: per-channel SSB channels
+    h2s_re: object = None    # (Kc2, D2) one-sided audio taps (re), shared
+    h2s_im: object = None    # (Kc2, D2) one-sided audio taps (im), shared
+    lsb_sign: object = None  # (C,) f32: -1 for lsb channels (conj), +1 else
 
 
 class BankState(NamedTuple):
@@ -123,6 +135,7 @@ class BankState(NamedTuple):
     deemph: jnp.ndarray      # (C,) float32 de-emphasis carry
     front: object = None     # FrontState (Ca,) for the coherent AM channels
     dc: object = None        # (Ca,) f32 DC-tracker carry (coherent AM)
+    y1_tail: object = None   # (C, K2-1) complex64 baseband tails (SSB banks)
 
 
 def build(cfg: BankConfig):
@@ -153,20 +166,23 @@ def build(cfg: BankConfig):
     lsb_mask = np.array([d == "lsb" for d in demods])
     # SSB audio decimator: HALF-width lowpass shifted to [0, 0.45/D2]
     # cycles at the channel rate -- a one-sided (analytic) filter whose
-    # lower edge sits at the carrier. USB audio = Re(decim(y1, h2s));
+    # lower edge sits at the carrier. USB audio = 2 Re(decim(y1, h2s));
     # LSB mirrors by conjugating the baseband instead of the taps, so one
-    # shared tap set serves both. 64 taps at the channel rate give a
-    # ~(52/14.36/64) ~ 0.006-cycle transition (~1.4 kHz at 240 kHz).
-    h2s = None
+    # shared tap set serves both (lsb_sign flips the imaginary part).
+    # The factor 2 restores unit message gain: a one-sided filter keeps
+    # only the analytic half of the real message's spectrum. Split
+    # sharpness comes from taps2_ssb (see BankConfig).
+    h2s_re = h2s_im = lsb_sign = None
     if ssb_mask.any():
         fsh2 = 0.225 / cfg.decim2
-        k2 = np.arange(cfg.taps2)
-        hs = (firdes.kaiser_lowpass(cfg.taps2, fsh2, 60.0)
-              * np.exp(2j * np.pi * fsh2 * k2))[::-1]
-        h2s = (kdec.plan_phase_taps(hs.real[None, :].astype(np.float32),
-                                    cfg.decim2)[0],
-               kdec.plan_phase_taps(hs.imag[None, :].astype(np.float32),
-                                    cfg.decim2)[0])
+        k2 = np.arange(cfg.taps2_ssb)
+        hs = 2.0 * (firdes.kaiser_lowpass(cfg.taps2_ssb, fsh2, 60.0)
+                    * np.exp(2j * np.pi * fsh2 * k2))[::-1]
+        h2s_re = kdec.plan_phase_taps(hs.real[None, :].astype(np.float32),
+                                      cfg.decim2)[0]
+        h2s_im = kdec.plan_phase_taps(hs.imag[None, :].astype(np.float32),
+                                      cfg.decim2)[0]
+        lsb_sign = np.where(lsb_mask, -1.0, 1.0).astype(np.float32)
     dtheta = np.array(
         [np.uint32(int(round((wc % TWO_PI) / TWO_PI * 2**32)) & 0xFFFFFFFF) for wc in w],
         dtype=np.uint32)
@@ -189,6 +205,9 @@ def build(cfg: BankConfig):
         deemph_b0=jnp.float32(b0), deemph_a=jnp.float32(a),
         fm_mask=jnp.asarray(fm_mask), amb=amb,
         ssb_mask=jnp.asarray(ssb_mask),
+        h2s_re=None if h2s_re is None else jnp.asarray(h2s_re),
+        h2s_im=None if h2s_im is None else jnp.asarray(h2s_im),
+        lsb_sign=None if lsb_sign is None else jnp.asarray(lsb_sign),
     )
     state = BankState(
         in_tail=jnp.zeros((cfg.taps1 - 1,), jnp.complex64),
@@ -198,6 +217,8 @@ def build(cfg: BankConfig):
         a_tail=jnp.zeros((C, cfg.taps2 - 1), jnp.float32),
         deemph=jnp.zeros((C,), jnp.float32),
         front=front, dc=dc0,
+        y1_tail=None if not ssb_mask.any()
+        else jnp.zeros((C, cfg.taps2_ssb - 1), jnp.complex64),
     )
     return params, state
 
@@ -251,12 +272,16 @@ def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig,
     rot = jnp.exp(-1j * theta)
     y1 = y1m * rot  # (C, N/D1) complex64 baseband per channel
 
+    demods = _demod_tuple(cfg)
+    ssb_any = any(d in ("usb", "lsb") for d in demods)
+    all_ssb = all(d in ("usb", "lsb") for d in demods)
     if cfg.demod == "fm":
         base = _fm_base(y1, state.fd_prev, cfg.kd)
     elif cfg.demod == "am":
         base = jnp.abs(y1).astype(jnp.float32)
-    elif cfg.demod in ("usb", "lsb"):
-        # sideband selection is in the taps; synchronous demod is Re
+    elif isinstance(cfg.demod, str) and ssb_any:
+        # real demod happens below through the one-sided h2s decimator;
+        # the real-path base only maintains the (unused) a_tail carry
         base = y1.real.astype(jnp.float32)
     else:  # mixed bank: compute all batched, mask-select per channel
         base = jnp.where(params.fm_mask[:, None],
@@ -287,11 +312,33 @@ def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig,
             lambda d0, v: kiir.first_order_apply(
                 1.0 - params.amb.dc_rho, params.amb.dc_rho, d0, v)
         )(state.dc, vr)
-        base = base.at[idx].set((vr - dct) * params.amb.inv_mod)
+        coh = (vr - dct) * params.amb.inv_mod
+        if len(am_idx) == C:
+            base = coh  # all-AM bank: no scatter, envelope is dead code
+        else:
+            base = base.at[idx].set(coh)
 
     # audio decimation: per-channel blocked matmul with shared taps
+    nj2 = nj1 // D2
     A = jnp.concatenate([state.a_tail, base], axis=1)  # (C, K2-1+N/D1)
-    audio = _audio_decimate(A, params.h2, D2, nj1 // D2)  # (C, N/(D1 D2))
+    audio = _audio_decimate(A, params.h2, D2, nj2)  # (C, N/(D1 D2))
+
+    # SSB channels: decimate the COMPLEX baseband through the one-sided
+    # (analytic) audio taps h2s and take Re -- true sideband selection at
+    # the channel rate. LSB channels conjugate the baseband (lsb_sign
+    # flips Im), mirroring the spectrum so the shared upper-sideband taps
+    # serve both. Branch-free over all channels (the EP-analog idiom), so
+    # the identical code shards over the channel axis.
+    y1_tail = state.y1_tail
+    if ssb_any:
+        K2s = cfg.taps2_ssb
+        Yf = jnp.concatenate([state.y1_tail, y1], axis=1)  # (C, K2s-1+N/D1)
+        yi = Yf.imag * params.lsb_sign[:, None]
+        audio_ssb = (_audio_decimate(Yf.real, params.h2s_re, D2, nj2)
+                     - _audio_decimate(yi, params.h2s_im, D2, nj2))
+        audio = audio_ssb if all_ssb else jnp.where(
+            params.ssb_mask[:, None], audio_ssb, audio)
+        y1_tail = Yf[:, -(K2s - 1):]
 
     # de-emphasis: first-order assoc scan vmapped over channels
     deemph, audio = jax.vmap(
@@ -306,6 +353,7 @@ def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig,
         a_tail=A[:, -(K2 - 1):],
         deemph=deemph,
         front=front, dc=dc,
+        y1_tail=y1_tail,
     )
     return new_state, audio
 

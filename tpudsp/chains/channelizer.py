@@ -161,6 +161,11 @@ class ChannelizedBankConfig:
     agc_scale: float = 1.0
     modulation: float = 1.0
 
+    def __post_init__(self):
+        if self.demod not in ("fm", "am"):
+            raise ValueError(
+                f"unknown demod {self.demod!r} (use 'fm' or 'am')")
+
 
 def bank_build(cfg: ChannelizedBankConfig):
     Ht, ch_state = build(cfg.channelizer)

@@ -148,6 +148,10 @@ def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConf
         return jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
             TWO_PI * cfg.kd)
 
+    from ..chains.bank import _audio_decimate, _demod_tuple
+    demods = _demod_tuple(cfg)
+    ssb_any = any(d in ("usb", "lsb") for d in demods)
+    all_ssb = all(d in ("usb", "lsb") for d in demods)
     front, dc = state.front, state.dc
     if cfg.demod == "fm":
         base = fm_base()
@@ -157,7 +161,9 @@ def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConf
                 params.amb, state.front, state.dc, y1)
         else:
             base = jnp.abs(y1).astype(jnp.float32)
-    elif cfg.demod in ("usb", "lsb"):
+    elif isinstance(cfg.demod, str) and ssb_any:
+        # real SSB demod is below (one-sided h2s decimator); this base
+        # only maintains the real-path a_tail carry
         base = y1.real.astype(jnp.float32)
     else:  # mixed: branch-free per-channel dispatch (EP analog)
         base = jnp.where(params.fm_mask[:, None], fm_base(),
@@ -166,10 +172,25 @@ def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConf
                                    jnp.abs(y1).astype(jnp.float32)))
     fd_prev = y1[:, -1]
 
+    nj2 = nj1 // D2
     halo_a = _left_halo_1d(base, K2 - 1, state.a_tail)
     A = jnp.concatenate([halo_a, base], axis=1)
-    from ..chains.bank import _audio_decimate
-    audio = _audio_decimate(A, params.h2, D2, nj1 // D2)
+    audio = _audio_decimate(A, params.h2, D2, nj2)
+
+    # SSB channels: one-sided (analytic) decimation of the complex
+    # baseband -- same branch-free scheme as chains/bank.py bank_step,
+    # with the (K2-1)-sample complex baseband tail as a time halo
+    y1_tail = state.y1_tail
+    if ssb_any:
+        K2s = cfg.taps2_ssb
+        halo_y1 = _left_halo_1d(y1, K2s - 1, state.y1_tail)
+        Yf = jnp.concatenate([halo_y1, y1], axis=1)
+        yi = Yf.imag * params.lsb_sign[:, None]
+        audio_ssb = (_audio_decimate(Yf.real, params.h2s_re, D2, nj2)
+                     - _audio_decimate(yi, params.h2s_im, D2, nj2))
+        audio = audio_ssb if all_ssb else jnp.where(
+            params.ssb_mask[:, None], audio_ssb, audio)
+        y1_tail = Yf[:, -(K2s - 1):]
 
     deemph, audio = _deemph_time_sharded(
         params.deemph_b0, params.deemph_a, state.deemph, audio)
@@ -186,6 +207,7 @@ def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConf
         deemph=deemph[:, None],                     # (C_loc, 1)   -> (C, T)
         front=jax.tree.map(lambda v: v[:, None], front),  # (C_loc,1)->(C,T)
         dc=None if dc is None else dc[:, None],
+        y1_tail=None if y1_tail is None else y1_tail[:, None, :],
     )
     return new_state, audio
 
@@ -229,6 +251,7 @@ class ShardedBank:
             front_out = jax.tree.map(lambda _: P(CHANNEL_AXIS, TIME_AXIS),
                                      self.state.front)
             dc_out = P(CHANNEL_AXIS, TIME_AXIS)
+        has_ssb = self.params.lsb_sign is not None
         param_specs = BankParams(
             taps_re=P(CHANNEL_AXIS), taps_im=P(CHANNEL_AXIS),
             dtheta=P(CHANNEL_AXIS), h2=P(),  # audio taps shared
@@ -236,11 +259,15 @@ class ShardedBank:
             amb=None if self.params.amb is None
             else jax.tree.map(lambda _: P(), self.params.amb),
             ssb_mask=P(CHANNEL_AXIS),
+            h2s_re=P() if has_ssb else None,
+            h2s_im=P() if has_ssb else None,
+            lsb_sign=P(CHANNEL_AXIS) if has_ssb else None,
         )
         state_specs = BankState(
             in_tail=P(), phase=P(CHANNEL_AXIS), n0=P(),
             fd_prev=P(CHANNEL_AXIS), a_tail=P(CHANNEL_AXIS), deemph=P(CHANNEL_AXIS),
             front=front_spec, dc=dc_spec,
+            y1_tail=P(CHANNEL_AXIS) if has_ssb else None,
         )
         body = partial(sharded_bank_step, cfg=cfg)
         mapped = jax.shard_map(
@@ -252,6 +279,7 @@ class ShardedBank:
                 a_tail=P(CHANNEL_AXIS, TIME_AXIS, None),
                 deemph=P(CHANNEL_AXIS, TIME_AXIS),
                 front=front_out, dc=dc_out,
+                y1_tail=P(CHANNEL_AXIS, TIME_AXIS, None) if has_ssb else None,
             ), P(CHANNEL_AXIS, TIME_AXIS)),
             check_vma=False,
         )
@@ -269,6 +297,7 @@ class ShardedBank:
                 deemph=st.deemph[:, -1],
                 front=jax.tree.map(lambda v: v[:, -1], st.front),
                 dc=None if st.dc is None else st.dc[:, -1],
+                y1_tail=None if st.y1_tail is None else st.y1_tail[:, -1, :],
             )
             return new_state, audio
 

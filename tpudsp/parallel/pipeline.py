@@ -133,15 +133,8 @@ class PipelinedAMReceiver:
         self.cfg = cfg
         self.block_len = int(block_len)
         self.mesh = mesh if mesh is not None else make_stage_mesh()
-        self.params, st0, self.n_out = build(cfg, self.block_len)
-        self.state = AMPipeState(
-            rs_tail=jnp.stack([st0.rs_tail] * N_STAGES),
-            agc=_stack(st0.agc, N_STAGES),
-            am=_stack(st0.am, N_STAGES),
-            deemph=jnp.stack([st0.deemph] * N_STAGES),
-            buf=jnp.zeros((N_STAGES, self.n_out), jnp.complex64),
-        )
-        self._fed = 0
+        self.params, self._st0, self.n_out = build(cfg, self.block_len)
+        self.reset()
 
         stage_specs = jax.tree.map(
             lambda x: P(STAGE_AXIS, *(None,) * (x.ndim - 1)), self.state)
@@ -166,11 +159,28 @@ class PipelinedAMReceiver:
             return None  # pipeline fill bubble
         return pcm[-1]
 
+    def reset(self):
+        """Re-initialize all stage state for a fresh stream."""
+        st0 = self._st0
+        self.state = AMPipeState(
+            rs_tail=jnp.stack([st0.rs_tail] * N_STAGES),
+            agc=_stack(st0.agc, N_STAGES),
+            am=_stack(st0.am, N_STAGES),
+            deemph=jnp.stack([st0.deemph] * N_STAGES),
+            buf=jnp.zeros((N_STAGES, self.n_out), jnp.complex64),
+        )
+        self._fed = 0
+
     def flush(self):
-        """Drain the in-flight block (feeds zeros to the front end)."""
+        """Drain the in-flight block and TERMINATE the stream: the drain
+        feeds zeros through the front end, so the carried filter/AGC state
+        afterwards belongs to the zero feed, not the user's stream. The
+        receiver therefore resets itself (as if freshly constructed);
+        start the next stream with plain __call__s."""
         if self._fed == 0:
             return None
         zeros = jnp.zeros((self.block_len,), jnp.complex64)
-        self.state, pcm = self._step(self.params, self.state, zeros,
-                                     jnp.asarray(True))
+        _, pcm = self._step(self.params, self.state, zeros,
+                            jnp.asarray(True))
+        self.reset()
         return pcm[-1]
