@@ -147,8 +147,11 @@ def test_wbfm_stereo_receiver():
     f_p = 19000.0 / iq_rate
     la = np.sin(2 * np.pi * 900.0 / iq_rate * t)
     ra = np.sin(2 * np.pi * 2500.0 / iq_rate * t)
+    # composite scale 0.008 ~ broadcast deviation (75 kHz peak at 2.4 Msps
+    # with kd=4); hotter scales push FM sidebands past the 270 kHz channel
+    # filter and the clipping intermod floors the separation measurement
     comp = ((la + ra) / 2 + 0.1 * np.cos(2 * np.pi * f_p * t)
-            + ((la - ra) / 2) * np.cos(2 * np.pi * 2 * f_p * t)) * 0.04
+            + ((la - ra) / 2) * np.cos(2 * np.pi * 2 * f_p * t)) * 0.008
     kd = 4.0
     x = np.exp(1j * 2 * np.pi * kd / 4.0 * np.cumsum(comp) * 4.0).astype(np.complex64)
     rx = WBFMStereoReceiver(block_len=n)
@@ -165,9 +168,10 @@ def test_wbfm_stereo_receiver():
     b = 3
     pk = lambda s, i: np.max(s[i - b:i + b + 1])
     # separation metric immune to the de-emphasis tilt: each tone must be
-    # stronger in its own channel than in the other by >= 10 dB
-    assert 20 * np.log10(pk(specL, i9) / pk(specR, i9)) > 10.0
-    assert 20 * np.log10(pk(specR, i25) / pk(specL, i25)) > 10.0
+    # stronger in its own channel than in the other by >= 30 dB
+    # (broadcast grade; cascade pilot smoother + 15 kHz audio lowpass)
+    assert 20 * np.log10(pk(specL, i9) / pk(specR, i9)) > 30.0
+    assert 20 * np.log10(pk(specR, i25) / pk(specL, i25)) > 30.0
 
 
 def test_ssb_receiver_chain():

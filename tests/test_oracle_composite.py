@@ -1,0 +1,180 @@
+"""Composite-demodulator oracle tests (round-1 VERDICT "do this" #1).
+
+Three kinds of pins:
+1. DEMONSTRATE the reference FMStereo pilot-loop divergence that motivated
+   the pilot-squaring re-architecture (tpudsp/kernels/pll.py): the exact
+   reference topology (tests/oracle/composite_oracle.FMStereoOracle,
+   reference demod.hpp:39-84) diverges from a cold start with liquid's
+   default PLL bandwidth, and even force-locked at a tiny bandwidth its
+   half-scale, phase-offset L-R term cannot separate -- while the tpudsp
+   decoder reaches broadcast grade (>=30 dB) on the same signal.
+2. Pin the FMStereo mono signal path (freqdem -> de-emphasis at iq_rate ->
+   resample) to the sample-serial reference-topology oracle.
+3. Pin BroadcastAM and AmpModem (both carrier modes) to sample-serial
+   oracles: per-sample float64 loop vs block-parallel scans.
+"""
+
+import numpy as np
+import pytest
+import scipy.signal as sig
+
+import tpudsp
+from tpudsp.kernels import ampmodem as kam
+from tests.oracle.composite_oracle import (
+    AmpModemOracle,
+    BroadcastAMOracle,
+    FMStereoOracle,
+)
+from tests.util import snr_db
+
+IQ_RATE = 600000.0
+PCM_RATE = 48000.0
+W_PILOT = 2 * np.pi * 19000.0 / IQ_RATE
+
+
+def _stereo_composite(n, la, ra, scale=0.04):
+    t = np.arange(n)
+    f_p = 19000.0 / IQ_RATE
+    comp = ((la + ra) / 2 + 0.1 * np.cos(2 * np.pi * f_p * t)
+            + ((la - ra) / 2) * np.cos(2 * np.pi * 2 * f_p * t)) * scale
+    phase = 2 * np.pi * 4.0 * np.cumsum(comp)
+    return np.exp(1j * phase).astype(np.complex64)
+
+
+def _separation_db(L, R, f_l, f_r, fs):
+    settle = len(L) // 2
+    Lw, Rw = L[settle:], R[settle:]
+    w = np.hanning(len(Lw))
+    fl = np.fft.rfftfreq(len(Lw), 1 / fs)
+    sL = np.abs(np.fft.rfft(Lw * w))
+    sR = np.abs(np.fft.rfft(Rw * w))
+    il = np.argmin(np.abs(fl - f_l))
+    ir = np.argmin(np.abs(fl - f_r))
+    b = max(3, int(len(Lw) * 60.0 / fs))  # +-60 Hz search window
+
+    def pk(s, i):
+        return np.max(s[max(i - b, 0):i + b + 1])
+
+    return (20 * np.log10(pk(sL, il) / pk(sL, ir)),
+            20 * np.log10(pk(sR, ir) / pk(sR, il)))
+
+
+def test_reference_pilot_loop_diverges_cold_start():
+    """The reference FMStereo loop as written (liquid default PLL bandwidth
+    0.1, NCO starting at 0 Hz, demod.hpp:26) runs its pilot NCO frequency
+    far beyond Nyquist on a clean synthetic stereo signal -- the measured
+    divergence claimed in tpudsp/kernels/pll.py."""
+    n = 60000
+    t = np.arange(n)
+    la = np.sin(2 * np.pi * 800.0 / IQ_RATE * t)
+    ra = np.sin(2 * np.pi * 2300.0 / IQ_RATE * t)
+    x = _stereo_composite(n, la, ra)
+    orc = FMStereoOracle(IQ_RATE, PCM_RATE, pll_bw=0.1, warm_start=False)
+    orc(x)
+    freqs = np.abs(np.array(orc.freq_trace))
+    assert freqs.max() > np.pi, "pilot NCO should run beyond Nyquist"
+    assert freqs.max() > 100 * W_PILOT
+
+
+def test_reference_pilot_loop_cannot_separate_even_locked():
+    """Even warm-started at exactly 19 kHz with a tiny PLL bandwidth (the
+    loop then *tracks* the pilot), the reference topology's L-R term
+    Re(s e^{-2j theta}) is half-scale and phase-offset: separation stays
+    ~1 dB. The tpudsp pilot-squaring decoder reaches >=30 dB on the same
+    signal. This is the divergence/intent evidence for the SURVEY.md Q3
+    re-architecture."""
+    n = 150000
+    t = np.arange(n)
+    la = np.sin(2 * np.pi * 800.0 / IQ_RATE * t)
+    ra = np.sin(2 * np.pi * 2300.0 / IQ_RATE * t)
+    x = _stereo_composite(n, la, ra)
+
+    orc = FMStereoOracle(IQ_RATE, PCM_RATE, pll_bw=1e-5, warm_start=True)
+    y = orc(x)
+    freqs = np.array(orc.freq_trace)
+    # the loop tracks (stays within 5% of the pilot frequency)...
+    assert np.abs(freqs[-30000:] - W_PILOT).max() < 0.05 * W_PILOT
+    # ...but cannot separate
+    sep_l, sep_r = _separation_db(y[0::2], y[1::2], 800.0, 2300.0, PCM_RATE)
+    assert sep_l < 6.0 and sep_r < 6.0
+
+    ours = tpudsp.FMStereo(iq_rate=IQ_RATE, pcm_rate=PCM_RATE)
+    yo = ours(x)
+    sep_l2, sep_r2 = _separation_db(yo[:, 0], yo[:, 1], 800.0, 2300.0, PCM_RATE)
+    assert sep_l2 > 30.0 and sep_r2 > 30.0
+
+
+def test_fmstereo_mono_path_matches_reference_topology():
+    """Mono (L == R) pins the shared signal path -- freqdem(kd=4) ->
+    75 us de-emphasis at iq_rate -> polyphase resample to pcm_rate --
+    against the sample-serial reference-topology oracle: after a 10 kHz
+    audio lowpass (both decoders keep junk out of band differently) and
+    fractional-delay alignment, the two outputs agree to >= 25 dB."""
+    n = 120000
+    t = np.arange(n)
+    la = np.sin(2 * np.pi * 1000.0 / IQ_RATE * t) \
+        + 0.5 * np.sin(2 * np.pi * 6300.0 / IQ_RATE * t)
+    x = _stereo_composite(n, la, la)
+
+    orc = FMStereoOracle(IQ_RATE, PCM_RATE, pll_bw=1e-5, warm_start=True)
+    y_ref = orc(x)[0::2]
+    ours = tpudsp.FMStereo(iq_rate=IQ_RATE, pcm_rate=PCM_RATE)
+    y_our = ours(x)[:, 0]
+
+    # band-limit both to the audio band and drop the settle transient
+    h = sig.firwin(201, 10000.0, fs=PCM_RATE)
+    a = np.convolve(y_ref, h, mode="valid")
+    b = np.convolve(y_our.astype(np.float64), h, mode="valid")
+    m = min(len(a), len(b))
+    a, b = a[m // 2:m], b[m // 2:m]
+    # fractional-delay alignment via 8x FFT upsampling + cross-correlation
+    up = 8
+    au = sig.resample(a, up * len(a))
+    bu = sig.resample(b, up * len(b))
+    lag = np.argmax(np.correlate(bu, au, mode="full")) - (len(au) - 1)
+    if lag >= 0:
+        bu = bu[lag:]
+    else:
+        au = au[-lag:]
+    m = min(len(au), len(bu)) - up * 8
+    au, bu = au[:m], bu[:m]
+    g = np.dot(au, bu) / np.dot(au, au)
+    assert 0.9 < g < 1.1, f"mono gain mismatch: {g}"
+    assert snr_db(g * au, bu) > 25.0
+
+
+def test_broadcastam_matches_oracle():
+    """Sample-serial float64 oracle of the exact reference topology
+    (demod.hpp:133-152) vs the block-parallel tpudsp implementation."""
+    n = 60000
+    t = np.arange(n)
+    fs = 48000.0
+    m = np.sin(2 * np.pi * 2000.0 / fs * t)
+    x = ((1.0 + 0.5 * m) * np.exp(2j * np.pi * 0.001 * t + 1j * 0.5)
+         ).astype(np.complex64)
+    orc = BroadcastAMOracle(slen=25)
+    y_ref = orc(x)
+    dem = tpudsp.BroadcastAM()
+    y_our = dem(x)
+    # after PLL lock the two trajectories coincide (the loop is
+    # contractive); float32 vs float64 limits the match
+    assert snr_db(y_ref[30000:], y_our[30000:].astype(np.float64)) > 35.0
+
+
+@pytest.mark.parametrize("am_type,carrier", [("dsb", True), ("usb", True),
+                                             ("dsb", False), ("lsb", False)])
+def test_ampmodem_matches_oracle(am_type, carrier):
+    """Sample-serial float64 oracle of the documented ampmodem semantics
+    vs the block-parallel kernel, across sideband types x carrier modes."""
+    n = 50000
+    t = np.arange(n)
+    m = np.sin(2 * np.pi * 0.01 * t) + 0.3 * np.sin(2 * np.pi * 0.033 * t)
+    x = kam.modulate(m, 0.5, am_type, carrier=carrier,
+                     carrier_freq=0.0005 if carrier else 0.0
+                     ).astype(np.complex64)
+    orc = AmpModemOracle(modulation=0.5, am_type=am_type, carrier=carrier)
+    y_ref = orc(x)
+    am = tpudsp.AmpModem(modulation=0.5, type=am_type, carrier=carrier)
+    y_our = np.asarray(am(x), dtype=np.float64)
+    settle = 20000 if carrier else 1000
+    assert snr_db(y_ref[settle:], y_our[settle:]) > 40.0

@@ -43,6 +43,7 @@ class StereoState(NamedTuple):
     in_tail: jnp.ndarray
     fd_prev: jnp.ndarray
     pilot: kpll.StereoPilotState
+    aud_tail: jnp.ndarray
     dl: jnp.ndarray
     dr: jnp.ndarray
     a_tail_l: jnp.ndarray
@@ -63,7 +64,7 @@ class StereoConfig:
 
 def _stereo_step(params, state: StereoState, iq, *, cfg: StereoConfig):
     D1 = cfg.decim1
-    h1, h2, dtheta_u, b0, a = params
+    h1, h2, h_aud, dtheta_u, b0, a = params
     X = jnp.concatenate([state.in_tail, iq])
     # decimate to composite rate with a real lowpass (conv over re/im)
     feats = jnp.stack([X.real, X.imag]).astype(jnp.float32)
@@ -71,8 +72,7 @@ def _stereo_step(params, state: StereoState, iq, *, cfg: StereoConfig):
     comp_iq = (y[0] + 1j * y[1]).astype(jnp.complex64)
     fd_prev, s = kfd.freqdem_apply(jnp.float32(cfg.kd), state.fd_prev, comp_iq)
     pilot, lr = kpll.stereo_pilot_apply(state.pilot, s, dtheta_u)
-    left = s + lr
-    right = s - lr
+    aud_tail, (left, right) = kpll.stereo_matrix_lowpass(h_aud, state.aud_tail, s, lr)
     dl, left = kiir.first_order_apply(b0, a, state.dl, left)
     dr, right = kiir.first_order_apply(b0, a, state.dr, right)
     # audio decimation 600k -> 48k (rate 2/decim2 = 2/25): interleaved
@@ -92,7 +92,7 @@ def _stereo_step(params, state: StereoState, iq, *, cfg: StereoConfig):
     a_tail_l, pl_ = dec_audio(state.a_tail_l, left)
     a_tail_r, pr_ = dec_audio(state.a_tail_r, right)
     new_state = StereoState(X[-(state.in_tail.shape[0]):], fd_prev, pilot,
-                            dl, dr, a_tail_l, a_tail_r)
+                            aud_tail, dl, dr, a_tail_l, a_tail_r)
     return new_state, (pl_, pr_)
 
 
@@ -119,13 +119,16 @@ class WBFMStereoReceiver:
         h2 = np.stack([proto[::-1], proto_half[::-1]]).astype(np.float32)
         b0, aa = iirdes.deemphasis_coeffs(comp_rate)
         dtheta = knco.rad_to_u32(TWO_PI * 19000.0 / comp_rate)
+        h_aud = firdes.stereo_audio_lowpass(comp_rate)
         self._params = (jnp.asarray(h1), jnp.asarray(h2),
+                        jnp.asarray(h_aud, jnp.float32),
                         jnp.uint32(dtheta), jnp.float32(b0), jnp.float32(aa))
         self.block_len = block_len
         self.state = StereoState(
             in_tail=jnp.zeros((cfg.taps1 - 1,), jnp.complex64),
             fd_prev=jnp.complex64(1.0),
             pilot=kpll.stereo_pilot_init(),
+            aud_tail=jnp.zeros((len(h_aud) - 1,), jnp.complex64),
             dl=jnp.float32(0.0), dr=jnp.float32(0.0),
             a_tail_l=jnp.zeros((cfg.taps2 - 1,), jnp.float32),
             a_tail_r=jnp.zeros((cfg.taps2 - 1,), jnp.float32),

@@ -51,6 +51,20 @@ def kaiser_lowpass(n: int, fc: float, As: float = 60.0, mu: float = 0.0) -> np.n
     return (h * w).astype(np.float64)
 
 
+def stereo_audio_lowpass(comp_rate: float, As: float = 60.0) -> np.ndarray:
+    """15 kHz audio-band lowpass for FM stereo matrixing at composite rate
+    ``comp_rate`` Hz: passband to 15 kHz, stopband from 19 kHz (rejects the
+    pilot and every mixing image the pilot-squaring L-R demod leaves above
+    the audio band). Tap count from the Kaiser length estimate for the
+    4 kHz transition; cutoff centered at 17 kHz. Odd length (symmetric,
+    integral group delay)."""
+    if comp_rate <= 2 * 19000.0:
+        raise ValueError("stereo decoding needs a composite rate > 38 kHz")
+    df = 4000.0 / comp_rate
+    n = int(np.ceil((abs(As) - 7.95) / (14.36 * df))) | 1
+    return kaiser_lowpass(n, 17000.0 / comp_rate, As)
+
+
 def dc_blocker(m: int, As: float = 20.0) -> np.ndarray:
     """DC-blocking FIR of length 2*m+1 (liquid firfilt_rrrf_create_dc_blocker
     equivalent, reference firfilter.hpp:43).

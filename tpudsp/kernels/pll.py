@@ -63,52 +63,21 @@ def pll_carrier_scan(state: PllState, x, bw: float):
 
 
 class StereoPilotState(NamedTuple):
-    p: jnp.ndarray        # c64: one-pole-smoothed pilot phasor at DC
+    p: jnp.ndarray        # c64: first smoothing stage (pilot phasor at DC)
+    p2: jnp.ndarray       # c64: second smoothing stage (cascade)
     phase_u: jnp.ndarray  # u32: running phase of the nominal 19 kHz mixer
 
 
 def stereo_pilot_init() -> StereoPilotState:
-    return StereoPilotState(jnp.complex64(0.0), jnp.uint32(0))
+    return StereoPilotState(jnp.complex64(0.0), jnp.complex64(0.0), jnp.uint32(0))
 
 
-def stereo_pilot_apply(state: StereoPilotState, s, dtheta_u32, rho: float = 0.998):
-    """FMStereo pilot recovery + L-R subband demodulation, fully
-    block-parallel (no sequential PLL).
-
-    Re-architecture of the reference's per-sample pilot NCO loop
-    (demod.hpp:54-84). The reference drives an NCO PLL from a one-pole-
-    filtered arg() of the once-mixed composite; measured from a cold start
-    that loop diverges (its pilot NCO frequency runs far beyond Nyquist on a
-    clean synthetic stereo signal), and even when locked its L-R term
-    Re(s e^{-2j theta}) demodulates the subband at half scale, giving only
-    partial stereo separation. SURVEY.md Q3 directs matching the documented
-    *intent* -- decode the 38 kHz DSB subband coherently with the 19 kHz
-    pilot -- so this framework uses the classic pilot-squaring receiver,
-    which is exact and embarrassingly parallel on TPU:
-
-        z[n] = s[n] * e^{-j w_p n}            (nominal 19 kHz mix, uint32 NCO)
-        p[n] = rho p[n-1] + (1-rho) z[n]      (one-pole: first-order assoc
-                                               scan -- block-parallel)
-        u[n] = p[n]/|p[n]|                    (unit pilot phasor, phase phi)
-        lr[n] = 2 s[n] Re(u[n]^2 e^{2j w_p n})  (coherent 38 kHz demod,
-                                                 full-scale L-R)
-
-    s: (N,) float32 composite baseband; dtheta_u32: uint32 per-sample pilot
-    phase increment (2 pi 19000/iq_rate). Returns (new_state, lr float32).
-    The one-pole bandwidth (1-rho) need only exceed the pilot's frequency
-    tolerance (broadcast pilots are within a few Hz), and its settling sets
-    the stereo acquisition time (~1/(1-rho) samples)."""
-    n = s.shape[0]
-    k = jnp.arange(n, dtype=jnp.uint32)
-    th_u = state.phase_u + k * dtheta_u32
-    theta = th_u.astype(jnp.float32) * jnp.float32(2.0 * np.pi / 4294967296.0)
-    osc = jnp.exp(-1j * theta).astype(jnp.complex64)
-    z = s.astype(jnp.complex64) * osc
-
-    # one-pole smoother as first-order associative scan
-    rho_j = jnp.float32(rho)
+def _onepole_scan(rho_j, carry, v):
+    """Complex one-pole p[n] = rho p[n-1] + (1-rho) v[n] with carried entry
+    state, run exactly as a first-order associative scan (block-parallel)."""
+    n = v.shape[0]
     a_arr = jnp.broadcast_to(rho_j, (n,))
-    u_in = (1.0 - rho_j) * z
+    u_in = (1.0 - rho_j) * v
 
     def combine(e1, e2):
         a1, u1 = e1
@@ -116,13 +85,74 @@ def stereo_pilot_apply(state: StereoPilotState, s, dtheta_u32, rho: float = 0.99
         return a1 * a2, a2 * u1 + u2
 
     ap, up = jax.lax.associative_scan(combine, (a_arr, u_in))
-    p = ap * state.p + up
+    return ap * carry + up
+
+
+def stereo_pilot_apply(state: StereoPilotState, s, dtheta_u32, rho: float = 0.999):
+    """FMStereo pilot recovery + L-R subband demodulation, fully
+    block-parallel (no sequential PLL).
+
+    Re-architecture of the reference's per-sample pilot NCO loop
+    (demod.hpp:54-84). The reference drives an NCO PLL from a one-pole-
+    filtered arg() of the once-mixed composite; measured from a cold start
+    that loop diverges (its pilot NCO frequency runs far beyond Nyquist on a
+    clean synthetic stereo signal -- tests/test_oracle_composite.py
+    demonstrates this against the sample-serial reference-topology oracle),
+    and even when force-locked its L-R term Re(s e^{-2j theta}) demodulates
+    the subband at half scale and off phase, measuring ~1.4 dB separation.
+    SURVEY.md Q3 directs matching the documented *intent* -- decode the
+    38 kHz DSB subband coherently with the 19 kHz pilot -- so this framework
+    uses the classic pilot-squaring receiver, which is exact and
+    embarrassingly parallel on TPU:
+
+        z[n] = s[n] * e^{-j w_p n}            (nominal 19 kHz mix, uint32 NCO)
+        p[n] = onepole(onepole(z))            (cascade of two one-poles, each
+                                               a first-order assoc scan --
+                                               block-parallel; the cascade's
+                                               -40 dB/dec rolloff keeps audio
+                                               and subband energy out of the
+                                               pilot phase estimate)
+        u[n] = p[n]/|p[n]|                    (unit pilot phasor, phase phi)
+        lr[n] = 2 s[n] Re(u[n]^2 e^{2j w_p n})  (coherent 38 kHz demod,
+                                                 full-scale L-R)
+
+    s: (N,) float32 composite baseband; dtheta_u32: uint32 per-sample pilot
+    phase increment (2 pi 19000/iq_rate). Returns (new_state, lr float32).
+    The smoother bandwidth (1-rho) need only exceed the pilot's frequency
+    tolerance (broadcast pilots are within a few Hz), and its settling sets
+    the stereo acquisition time (~2/(1-rho) samples). Follow with
+    ``stereo_matrix_lowpass`` to keep only the audio band."""
+    n = s.shape[0]
+    k = jnp.arange(n, dtype=jnp.uint32)
+    th_u = state.phase_u + k * dtheta_u32
+    theta = th_u.astype(jnp.float32) * jnp.float32(2.0 * np.pi / 4294967296.0)
+    osc = jnp.exp(-1j * theta).astype(jnp.complex64)
+    z = s.astype(jnp.complex64) * osc
+
+    rho_j = jnp.float32(rho)
+    p1 = _onepole_scan(rho_j, state.p, z)
+    p = _onepole_scan(rho_j, state.p2, p1)
     mag = jnp.abs(p)
     u = jnp.where(mag > 1e-6, p / (mag + 1e-12), jnp.zeros_like(p))
     ref38 = u * u * jnp.conj(osc) * jnp.conj(osc)  # e^{+2j w_p n} u^2
     lr = 2.0 * s * ref38.real
-    new_state = StereoPilotState(p=p[-1], phase_u=state.phase_u + jnp.uint32(n) * dtheta_u32)
+    new_state = StereoPilotState(p=p1[-1], p2=p[-1],
+                                 phase_u=state.phase_u + jnp.uint32(n) * dtheta_u32)
     return new_state, lr.astype(jnp.float32)
+
+
+def stereo_matrix_lowpass(h_aud, tail, s, lr):
+    """Audio-band lowpass + stereo matrix in one complex FIR pass.
+
+    The composite s still carries the pilot (19 kHz) and subband images
+    (>=23 kHz), and lr carries everything the coherent 38 kHz demod mixed
+    out of band; a single real-tap FIR over the packed complex signal
+    s + j lr filters both paths with identical group delay, so the matrix
+    stays balanced. Returns (new_tail, (L, R)) with L = s_f + lr_f,
+    R = s_f - lr_f. Design taps with firdes.stereo_audio_lowpass."""
+    from . import fir as kfir
+    tail, c = kfir.fir_apply(h_aud, tail, (s + 1j * lr).astype(jnp.complex64))
+    return tail, (c.real + c.imag, c.real - c.imag)
 
 
 def _chunked_scan(scan_fn, state_bcast, state_sel_last, state, x, chunk, warmup):

@@ -140,19 +140,18 @@ class SSBDemod(StatefulOp):
         return np.asarray(upper if self._usb else lower)
 
 
-def _fmstereo_block(h_state, x, *, b0, a, dtheta_u32):
+def _fmstereo_block(h_state, x, *, h_aud, b0, a, dtheta_u32):
     """One jitted FMStereo block: freqdem -> block-parallel pilot-squaring
-    L-R demod -> stereo matrix -> 75us de-emphasis at iq_rate (reference
-    stage order preserved, SURVEY.md Q3; pilot recovery re-architected per
-    tpudsp/kernels/pll.py stereo_pilot_apply)."""
-    prev, pilot, dl, dr = h_state
+    L-R demod -> audio-band lowpass + stereo matrix -> 75us de-emphasis at
+    iq_rate (reference stage order preserved, SURVEY.md Q3; pilot recovery
+    re-architected per tpudsp/kernels/pll.py stereo_pilot_apply)."""
+    prev, pilot, aud, dl, dr = h_state
     prev, s = kfd.freqdem_apply(jnp.float32(4.0), prev, x)  # kd=4.0 per demod.hpp:27
     pilot, lr = kpll.stereo_pilot_apply(pilot, s, jnp.uint32(dtheta_u32))
-    left = s + lr
-    right = s - lr
+    aud, (left, right) = kpll.stereo_matrix_lowpass(h_aud, aud, s, lr)
     dl, yl = kiir.first_order_apply(jnp.float32(b0), jnp.float32(a), dl, left)
     dr, yr = kiir.first_order_apply(jnp.float32(b0), jnp.float32(a), dr, right)
-    return (prev, pilot, dl, dr), (yl, yr)
+    return (prev, pilot, aud, dl, dr), (yl, yr)
 
 
 class FMStereo(StatefulOp):
@@ -160,14 +159,17 @@ class FMStereo(StatefulOp):
     wrapper.cpp:264-267): FMStereo(iq_rate=600000.0, pcm_rate=48000.0).
 
     Stage order per the reference: freqdem(kd=4) -> pilot-coherent 38 kHz
-    L-R demod -> per-channel 75us de-emphasis at iq_rate -> per-channel
-    resample to pcm_rate -> interleaved L,R float32 (flat, as the reference
-    emits). Reference quirks resolved per SURVEY.md Q3: only full L,R pairs
-    are emitted; the pilot recovery itself is re-architected as a fully
-    block-parallel pilot-squaring receiver (see
-    tpudsp/kernels/pll.py stereo_pilot_apply -- the reference's cold-start
-    PLL topology measurably diverges), which also yields full-scale stereo
-    separation where the reference's Re(s e^{-2j theta}) term is half-scale.
+    L-R demod -> audio-band lowpass -> per-channel 75us de-emphasis at
+    iq_rate -> per-channel resample to pcm_rate -> (N, 2) float32 stereo
+    array (the SURVEY.md Q3 disposition; the reference emits flat
+    interleaved L,R). Reference quirks resolved per SURVEY.md Q3: only full
+    L,R pairs are emitted; the pilot recovery itself is re-architected as a
+    fully block-parallel pilot-squaring receiver (see
+    tpudsp/kernels/pll.py stereo_pilot_apply -- the reference's PLL topology
+    measurably diverges, demonstrated sample-serially in
+    tests/test_oracle_composite.py), which also yields full-scale stereo
+    separation (>=30 dB broadcast grade; the reference's Re(s e^{-2j theta})
+    term is half-scale and measures ~1.4 dB even when force-locked).
 
     TPU re-architecture (SURVEY.md section 3.4): every stage -- freqdem,
     pilot recovery, stereo matrix, de-emphasis, resamplers -- is block-
@@ -181,18 +183,23 @@ class FMStereo(StatefulOp):
         m, fc, As, npfb = firdes.default_resamp_params(self._rate)
         self._m = m
         self._H = jnp.asarray(firdes.resamp_bank(m, fc, As, npfb), jnp.float32)
+        self._h_aud = jnp.asarray(firdes.stereo_audio_lowpass(self._iq_rate),
+                                  jnp.float32)
         from ..kernels import nco as knco
         dtheta = knco.rad_to_u32(2.0 * np.pi * 19000.0 / self._iq_rate)
-        self._block = jax.jit(partial(_fmstereo_block, b0=b0, a=a, dtheta_u32=dtheta))
+        self._block = jax.jit(partial(_fmstereo_block, h_aud=self._h_aud,
+                                      b0=b0, a=a, dtheta_u32=dtheta))
         self._resamp = jax.jit(krs.resamp_apply)
         self.reset()
 
     def reset(self):
         # reference reset() only resets the resamplers (demod.hpp:34-37);
         # we reset the full chain state -- the documented intent
+        from ..kernels import fir as kfir
         self._state = (
             kfd.freqdem_init(),
             kpll.stereo_pilot_init(),
+            kfir.fir_init(self._h_aud.shape[0], jnp.complex64),
             jnp.float32(0.0),
             jnp.float32(0.0),
         )
@@ -226,15 +233,12 @@ class FMStereo(StatefulOp):
             self._rs_l = jnp.concatenate([self._rs_l, yl])[-ntaps:]
             self._rs_r = jnp.concatenate([self._rs_r, yr])[-ntaps:]
             self._tau = new_tau
-            return np.zeros((0,), np.float32)
+            return np.zeros((0, 2), np.float32)
         qj, fj = jnp.asarray(q), jnp.asarray(frac)
         self._rs_l, pl = self._resamp(self._H, self._rs_l, yl, qj, fj)
         self._rs_r, pr = self._resamp(self._H, self._rs_r, yr, qj, fj)
         self._tau = new_tau
-        out = np.empty(2 * n_out, dtype=np.float32)
-        out[0::2] = np.asarray(pl)
-        out[1::2] = np.asarray(pr)
-        return out
+        return np.stack([np.asarray(pl), np.asarray(pr)], axis=1)
 
 
 def _broadcastam_block(state, x, *, h_lp, sos_dc, m, exact_pll):
