@@ -42,6 +42,7 @@ from ..kernels import fir as kfir
 from ..kernels import iir as kiir
 from ..kernels import pll as kpll
 from ..kernels import resamp as krs
+from ..kernels import warmup as kwarm
 
 
 @dataclass(frozen=True)
@@ -159,7 +160,12 @@ def _back_end(params: AMParams, state: AMState, baseband, cfg: AMConfig, exact: 
     if backend == "pallas" and exact:
         raise ValueError("backend='pallas' requires exact=False "
                          "(the fused kernel is the chunked path)")
-    if backend == "pallas":
+    # warmup derived from the loops actually in the chunked scan
+    # (kernels/warmup.py): AGC gain loop + carrier PLL when present
+    warmup = kwarm.warmup_for(
+        agc_alpha=cfg.agc_bandwidth,
+        pll_bw=kam.PLL_BW if cfg.carrier else None)
+    if backend == "pallas" and warmup <= kwarm.PALLAS_WARMUP_MAX:
         from ..kernels import am_backend as kab
         from ..pallas import enabled
         from ..pallas.am_backend_scan import am_backend_chunked_pallas
@@ -168,11 +174,13 @@ def _back_end(params: AMParams, state: AMState, baseband, cfg: AMConfig, exact: 
         st = kab.AmBackendState(agc=state.agc, pll=state.am.pll,
                                 dc=state.am.dc, deemph=state.deemph)
         st, (pcm, modes) = am_backend_chunked_pallas(
-            p, st, baseband, interpret=not enabled())
+            p, st, baseband, warmup=warmup, interpret=not enabled())
         am_state = kam.AmpDemodState(pll=st.pll, dc=st.dc, c2r=state.am.c2r)
         return st.agc, am_state, st.deemph, pcm, modes
+    # (backend='pallas' with a warmup too large for VMEM falls through to
+    # the XLA chunked path -- same semantics, HBM-resident windows)
     agc_fn = kagc.agc_apply if exact else partial(
-        kagc.agc_apply_chunked, chunk=1024, warmup=2048)
+        kagc.agc_apply_chunked, chunk=kwarm.chunk_for(warmup), warmup=warmup)
     agc_state, (z, modes) = agc_fn(params.agc, state.agc, baseband)
     am_state, audio = kam.ampdemod_apply(
         state.am, z, params.h_hilb, params.mod, "dsb", cfg.carrier,

@@ -37,9 +37,11 @@ from jax import lax
 from ..design import firdes, iirdes
 from ..kernels import agc as kagc
 from ..kernels import am_backend as kab
+from ..kernels import ampmodem as kam
 from ..kernels import decimate as kdec
 from ..kernels import freqdem as kfd
 from ..kernels import iir as kiir
+from ..kernels import warmup as kwarm
 from ..kernels.pll import PllState
 
 TWO_PI = 2.0 * np.pi
@@ -299,14 +301,20 @@ def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig,
         # the channel rate, overwriting the envelope rows of `base`
         idx = jnp.asarray(am_idx)
         y_am = y1[idx, :]
-        if backend == "pallas":
+        # warmup from the live loop bandwidths (kernels/warmup.py), never
+        # a frozen constant; Pallas stages warmups in VMEM so very narrow
+        # loops route to the XLA chunked path
+        w = kwarm.warmup_for(agc_alpha=cfg.agc_bandwidth, pll_bw=kam.PLL_BW)
+        if backend == "pallas" and w <= kwarm.PALLAS_WARMUP_MAX:
             from ..pallas import enabled
             from ..pallas.am_backend_scan import front_chunked_pallas
             front, (vr, _modes) = front_chunked_pallas(
-                params.amb, state.front, y_am, interpret=not enabled())
+                params.amb, state.front, y_am, warmup=w,
+                interpret=not enabled())
         else:
             front, (vr, _modes) = jax.vmap(
-                lambda s, xs: kab.front_chunked(params.amb, s, xs)
+                lambda s, xs: kab.front_chunked(
+                    params.amb, s, xs, chunk=kwarm.chunk_for(w), warmup=w)
             )(state.front, y_am)
         dc, dct = jax.vmap(
             lambda d0, v: kiir.first_order_apply(

@@ -32,6 +32,7 @@ from ..design import firdes, iirdes
 from ..kernels import agc as kagc
 from ..kernels import am_backend as kab
 from ..kernels import iir as kiir
+from ..kernels import warmup as kwarm
 from ..kernels.pll import PllState
 
 TWO_PI = 2.0 * np.pi
@@ -208,14 +209,19 @@ def bank_step(params, state: DemodBankState, x, *, cfg: ChannelizedBankConfig,
         base = jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
             TWO_PI * cfg.kd)
     elif cfg.am_coherent:
-        if backend == "pallas":
+        # warmup derived from the live loop bandwidths (kernels/warmup.py)
+        w = kwarm.warmup_for(agc_alpha=cfg.agc_bandwidth,
+                             pll_bw=kab.PLL_BW)
+        if backend == "pallas" and w <= kwarm.PALLAS_WARMUP_MAX:
             from ..pallas import enabled
             from ..pallas.am_backend_scan import front_chunked_pallas
             front, (vr, _modes) = front_chunked_pallas(
-                amb, state.front, Yc, interpret=not enabled())
+                amb, state.front, Yc, warmup=w, interpret=not enabled())
         else:
             front, (vr, _modes) = jax.vmap(
-                lambda s, xs: kab.front_chunked(amb, s, xs))(state.front, Yc)
+                lambda s, xs: kab.front_chunked(
+                    amb, s, xs, chunk=kwarm.chunk_for(w), warmup=w)
+            )(state.front, Yc)
         dc, dct = jax.vmap(
             lambda d0, v: kiir.first_order_apply(
                 1.0 - amb.dc_rho, amb.dc_rho, d0, v))(state.dc, vr)

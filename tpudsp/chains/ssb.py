@@ -23,6 +23,7 @@ from ..design import firdes
 from ..kernels import agc as kagc
 from ..kernels import decimate as kdec
 from ..kernels import hilbert as khilb
+from ..kernels import warmup as kwarm
 
 
 @dataclass(frozen=True)
@@ -91,8 +92,11 @@ def ssb_step(params: SSBParams, state: SSBState, iq, *, cfg: SSBConfig,
     rs_tail, y48 = kdec.fused_frontend_apply(
         params.taps_fused, state.rs_tail, iq, offsets, Q, nj)
 
+    # warmup from the AGC loop bandwidth (kernels/warmup.py); the AGC is
+    # the only feedback loop in this chain (the Hilbert split is FIR)
+    w = kwarm.warmup_for(agc_alpha=cfg.agc_bandwidth)
     agc_fn = kagc.agc_apply if exact else partial(
-        kagc.agc_apply_chunked, chunk=1024, warmup=2048)
+        kagc.agc_apply_chunked, chunk=kwarm.chunk_for(w), warmup=w)
     agc_state, (z, modes) = agc_fn(params.agc, state.agc, y48)
 
     c2r, (lower, upper) = khilb.c2r_apply(params.h_hilb, state.c2r, z)

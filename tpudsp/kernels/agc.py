@@ -126,7 +126,7 @@ def agc_apply(params: AgcParams, state: AgcState, x):
     return new_state, (y, modes)
 
 
-def agc_apply_chunked(params: AgcParams, state: AgcState, x, chunk: int = 1024, warmup: int = 2048):
+def agc_apply_chunked(params: AgcParams, state: AgcState, x, chunk: int, warmup: int):
     """Throughput AGC: chunks run in parallel, each warmed up on the tail of
     its predecessor's input. Approximation error ~ exp(-alpha * warmup)
     relative (documented; tested >= 60 dB vs agc_apply). The first chunk uses

@@ -174,13 +174,13 @@ def front_exact(p: AmBackendParams, st: FrontState, x):
 
 
 def front_chunked(p: AmBackendParams, st: FrontState, x,
-                  chunk: int = 1024, warmup: int = 4096):
+                  chunk: int, warmup: int):
     """Chunk-parallel AGC+PLL front (XLA): the warmup-chunk scheme of
     kernels/agc.agc_apply_chunked applied to the combined front step.
     x: (N,) complex64. Returns (FrontState, (vr, modes)). Warmup must
     exceed ~10x the slowest loop memory (PLL: 1/sqrt(bw) once near lock,
-    AGC: 1/alpha); the defaults cover the broadcast configs and are
-    pinned >= 60 dB vs front_exact in tests."""
+    AGC: 1/alpha) -- derive it with kernels/warmup.warmup_for from the
+    static loop bandwidths; it is deliberately NOT defaulted here."""
     from .pll import _chunked_scan
     fn = lambda s, xs: front_exact(p, s, xs)
     bcast = lambda s, n: jax.tree.map(lambda v: jnp.broadcast_to(v, (n,)), s)

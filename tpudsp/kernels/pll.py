@@ -200,9 +200,18 @@ def _chunked_scan(scan_fn, state_bcast, state_sel_last, state, x, chunk, warmup)
     return new_state, ys
 
 
-def pll_carrier_scan_chunked(state: PllState, x, bw: float, chunk: int = 2048, warmup: int = 4096):
+def pll_carrier_scan_chunked(state: PllState, x, bw: float,
+                             chunk: int | None = None,
+                             warmup: int | None = None):
     """Chunk-parallel version of pll_carrier_scan (documented approximation:
-    exact after lock to ~exp(-sqrt(bw)*warmup); tested vs the exact scan)."""
+    exact after lock to ~exp(-sqrt(bw)*warmup); tested vs the exact scan).
+    warmup defaults to the derivation in kernels/warmup.py (>= 12/sqrt(bw)),
+    never a frozen constant."""
+    from .warmup import chunk_for, warmup_for
+    if warmup is None:
+        warmup = warmup_for(pll_bw=bw, minimum=2048)
+    if chunk is None:
+        chunk = chunk_for(warmup, base=2048)
     fn = lambda st, xs: pll_carrier_scan(st, xs, bw)
     bcast = lambda s, n: jax.tree.map(lambda v: jnp.broadcast_to(v, (n,)), s)
     sel = lambda f: jax.tree.map(lambda v: v[-1], f)

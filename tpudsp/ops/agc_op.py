@@ -20,26 +20,38 @@ import jax
 import jax.numpy as jnp
 
 from ..kernels import agc as kagc
+from ..kernels.warmup import PALLAS_WARMUP_MAX, chunk_for, warmup_for
 from .base import StatefulOp, as_c64
 
 _agc_exact = jax.jit(kagc.agc_apply)
-_agc_chunked = jax.jit(partial(kagc.agc_apply_chunked, chunk=1024, warmup=2048))
 
-
+# chunked kernels are jit-cached per (chunk, warmup[, interpret]) -- the
+# warmup window is DERIVED from the live loop bandwidth at call time
+# (kernels/warmup.py), never frozen
+_agc_chunked_cache = {}
 _agc_pallas_jit_cache = {}
 
 
-def _agc_chunked_pallas(params, state, x):
+def _agc_chunked(params, state, x, chunk, warmup):
+    key = (chunk, warmup)
+    if key not in _agc_chunked_cache:
+        _agc_chunked_cache[key] = jax.jit(
+            partial(kagc.agc_apply_chunked, chunk=chunk, warmup=warmup))
+    return _agc_chunked_cache[key](params, state, x)
+
+
+def _agc_chunked_pallas(params, state, x, chunk, warmup):
     from ..pallas import enabled
     from ..pallas.agc_scan import agc_chunked_pallas
     # compiled natively on TPU; interpret mode elsewhere (same semantics).
-    # jitted (cached per interpret flag) so the host-side pad/reshape work
-    # never runs eagerly on the remote-compile TPU backend.
+    # jitted (cached per config) so the host-side pad/reshape work never
+    # runs eagerly on the remote-compile TPU backend.
     interp = not enabled()
-    if interp not in _agc_pallas_jit_cache:
-        _agc_pallas_jit_cache[interp] = jax.jit(partial(
-            agc_chunked_pallas, chunk=1024, warmup=2048, interpret=interp))
-    return _agc_pallas_jit_cache[interp](params, state, x)
+    key = (chunk, warmup, interp)
+    if key not in _agc_pallas_jit_cache:
+        _agc_pallas_jit_cache[key] = jax.jit(partial(
+            agc_chunked_pallas, chunk=chunk, warmup=warmup, interpret=interp))
+    return _agc_pallas_jit_cache[key](params, state, x)
 
 
 class AGC(StatefulOp):
@@ -175,13 +187,21 @@ class AGC(StatefulOp):
             alpha=self._bandwidth, locked=self._lock, squelch=self._squelch,
             threshold=self._threshold, timeout=self._timeout, scale=self._scale,
         )
-        if self._throughput and self._use_pallas:
-            run = _agc_chunked_pallas
-        elif self._throughput:
-            run = _agc_chunked
+        if self._throughput:
+            warmup = warmup_for(
+                agc_alpha=self._bandwidth,
+                squelch_timeout=self._timeout if self._squelch else 0)
+            chunk = chunk_for(warmup)
+            # the Pallas kernel stages its warmup windows in VMEM; very
+            # narrow loops route to the XLA chunked path (HBM windows)
+            if self._use_pallas and warmup <= PALLAS_WARMUP_MAX:
+                self._state, (y, modes) = _agc_chunked_pallas(
+                    params, self._state, xj, chunk=1024, warmup=warmup)
+            else:
+                self._state, (y, modes) = _agc_chunked(
+                    params, self._state, xj, chunk=chunk, warmup=warmup)
         else:
-            run = _agc_exact
-        self._state, (y, modes) = run(params, self._state, xj)
+            self._state, (y, modes) = _agc_exact(params, self._state, xj)
         if self._squelch and self._onRise is not None:
             modes_h = np.asarray(modes)
             prev = np.concatenate([[self._edge_state], modes_h[:-1]])

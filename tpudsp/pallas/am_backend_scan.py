@@ -97,7 +97,7 @@ def _make_kernel(params: AmBackendParams):
 
 
 def front_chunked_pallas(params: AmBackendParams, state: FrontState, x,
-                         chunk: int = 1024, warmup: int = 4096,
+                         chunk: int = 1024, *, warmup: int,
                          interpret: bool = False):
     """Batched chunk-parallel AGC+PLL front in one Pallas VMEM kernel.
 
@@ -202,7 +202,7 @@ def front_chunked_pallas(params: AmBackendParams, state: FrontState, x,
 
 
 def am_backend_chunked_pallas(params: AmBackendParams, state: AmBackendState,
-                              x, chunk: int = 1024, warmup: int = 4096,
+                              x, chunk: int = 1024, *, warmup: int,
                               interpret: bool = False):
     """Fused back end over a 1-D complex block. Feedback core in the
     Pallas kernel (a C=1 batch of front_chunked_pallas); DC tracker +

@@ -78,7 +78,7 @@ def _deemph_time_sharded(b0, a, y0, x_local):
     return y_local[..., -1], y_local
 
 
-def coherent_am_time_sharded(amb, front0, dc0, y1, warmup: int = 4096):
+def coherent_am_time_sharded(amb, front0, dc0, y1, warmup: int):
     """Coherent AM back end (AGC + carrier PLL + DC tracker) across time
     shards: the warmup-chunk scheme IS the time-sharding scheme -- each
     shard's feedback-loop entry state is re-derived from a `warmup`-sample
@@ -91,7 +91,10 @@ def coherent_am_time_sharded(amb, front0, dc0, y1, warmup: int = 4096):
     aggregate prefix scan.
 
     amb: kab.AmBackendParams; front0: FrontState (C_loc,); dc0: (C_loc,);
-    y1: (C_loc, M_loc) local baseband. Returns (front, dc, base)."""
+    y1: (C_loc, M_loc) local baseband; warmup: halo/warmup window in
+    samples -- derive with kernels/warmup.warmup_for from the loop
+    bandwidths inside amb (the caller knows them statically).
+    Returns (front, dc, base)."""
     from ..kernels import am_backend as kab
     nj1 = y1.shape[1]
     w = min(warmup, nj1)
@@ -109,8 +112,10 @@ def coherent_am_time_sharded(amb, front0, dc0, y1, warmup: int = 4096):
         return st_out
 
     entry = jax.vmap(warm)(front0, halo)
+    from ..kernels.warmup import chunk_for
     front, (vr, _modes) = jax.vmap(
-        lambda s, xs: kab.front_chunked(amb, s, xs))(entry, y1)
+        lambda s, xs: kab.front_chunked(
+            amb, s, xs, chunk=chunk_for(warmup), warmup=warmup))(entry, y1)
     dc, dct = _deemph_time_sharded(1.0 - amb.dc_rho, amb.dc_rho, dc0, vr)
     return front, dc, (vr - dct) * amb.inv_mod
 
@@ -157,8 +162,11 @@ def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConf
         base = fm_base()
     elif cfg.demod == "am":
         if cfg.am_coherent:
+            from ..kernels.ampmodem import PLL_BW
+            from ..kernels.warmup import warmup_for
             front, dc, base = coherent_am_time_sharded(
-                params.amb, state.front, state.dc, y1)
+                params.amb, state.front, state.dc, y1,
+                warmup=warmup_for(agc_alpha=cfg.agc_bandwidth, pll_bw=PLL_BW))
         else:
             base = jnp.abs(y1).astype(jnp.float32)
     elif isinstance(cfg.demod, str) and ssb_any:

@@ -89,8 +89,12 @@ def scanner_step(params, state: DemodBankState, x_local, *, cfg: ChannelizedBank
     elif cfg.am_coherent:
         # coherent AM across time shards: warmup halo + chunked front
         # (same scheme as parallel/bank.py)
+        from ..kernels.ampmodem import PLL_BW
+        from ..kernels.warmup import warmup_for
         from .bank import coherent_am_time_sharded
-        front, dc, base = coherent_am_time_sharded(amb, front, dc, Yc)
+        front, dc, base = coherent_am_time_sharded(
+            amb, front, dc, Yc,
+            warmup=warmup_for(agc_alpha=cfg.agc_bandwidth, pll_bw=PLL_BW))
     else:
         base = jnp.abs(Yc).astype(jnp.float32)
 
