@@ -33,7 +33,8 @@ def log(*a):
 
 
 def _bench_secondary(log):
-    """Optional extra configs (BASELINE configs 3/4) to stderr."""
+    """Optional extra configs (BASELINE configs 2/3/4/5-core) to stderr,
+    all on non-zero synthetic signals."""
     import time
     import numpy as np
     import jax
@@ -49,23 +50,56 @@ def _bench_secondary(log):
         dt = (time.perf_counter() - t0) / iters
         log(f"{name}: {dt*1e3:.2f} ms -> {n_samples/dt/1e9:.2f} Gsamp/s")
 
+    def noise_iq(n, seed=0, scale=0.1):
+        rng = np.random.default_rng(seed)
+        return jax.device_put(jnp.asarray(
+            (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+             ).astype(np.complex64) * scale))
+
     from tpudsp.chains.bank import BankConfig, build as bbuild, bank_step
+
+    # config 2: WBFM broadcast at 2.4 Msps -- mono (single-channel fm
+    # bank, wrapper.cpp:265 rates scaled to the 2.4M input) and stereo
+    # (600k composite decode + 48k two-phase decimation)
+    n2 = 1_000_000
+    x2 = noise_iq(n2, seed=2)
+    cfg_m = BankConfig(freqs=(0.0,), iq_rate=2_400_000.0, demod="fm",
+                       decim1=10, decim2=5, kd=75_000.0 / 240_000.0)
+    pm, sm = bbuild(cfg_m)
+    f2m = jax.jit(partial(bank_step, cfg=cfg_m))
+    rate("wbfm mono (config 2)", lambda: f2m(pm, sm, x2)[1], n2)
+    from tpudsp.chains.wbfm import WBFMStereoReceiver
+    rx2s = WBFMStereoReceiver(block_len=n2)
+    rate("wbfm stereo (config 2)",
+         lambda: rx2s._step(rx2s._params, rx2s.state, x2)[1], n2)
+
+    # config 3: 16-channel bank
     cfg16 = BankConfig(freqs=tuple(float(f) for f in
                                    np.linspace(-1e6, 1e6, 16, endpoint=False)))
     p, s = bbuild(cfg16)
     n = 4_000_000
-    x = jnp.zeros((n,), jnp.complex64)
+    x = noise_iq(n, seed=3)
     f16 = jax.jit(partial(bank_step, cfg=cfg16))
     rate("bank16 (config 3)", lambda: f16(p, s, x)[1], n)
 
+    # config 4: 1024-channel channelized bank
     from tpudsp.chains.channelizer import (
         ChannelizedBankConfig, bank_build, bank_step as chstep)
     ccfg = ChannelizedBankConfig()
     cp, cs = bank_build(ccfg)
     nc = 1024 * 4096
-    xc = jnp.zeros((nc,), jnp.complex64)
+    xc = noise_iq(nc, seed=4)
     fch = jax.jit(partial(chstep, cfg=ccfg))
     rate("channelized bank 1024ch (config 4)", lambda: fch(cp, cs, xc)[1], nc)
+
+    # config 5 core: the wideband scanner on ONE chip (time axis = 1);
+    # multi-chip scaling is measured by tpudsp.bench_scaling when a mesh
+    # is available
+    from tpudsp.parallel import make_mesh
+    from tpudsp.parallel.multihost import ShardedScanner
+    sc = ShardedScanner(ccfg, make_mesh(1, 1), block_len=nc)
+    rate("scanner 1-chip (config 5 core)",
+         lambda: sc._step(sc.params, sc.state, xc)[1], nc)
 
 
 def _impl(platform: str):
