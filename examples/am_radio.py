@@ -42,10 +42,17 @@ def main():
     raw[0::2] = np.clip(iq.real * 32767, -32767, 32767)
     raw[1::2] = np.clip(iq.imag * 32767, -32767, 32767)
 
+    from tpudsp.utils.profiling import stage_report
+
     radio = AMRadio()
     block = 1 << 18
     for i in range(0, n, block):
-        radio(liquiddsp.bytes_to_iq(raw[2 * i: 2 * (i + block)].tobytes()))
+        out = radio(liquiddsp.bytes_to_iq(raw[2 * i: 2 * (i + block)].tobytes()))
+        # per-block observability: output level + live AGC rssi/status
+        stage_report("am_radio.block", out=out,
+                     extra={"rssi_db": round(radio.agc.level_dB, 2),
+                            "agc_status": radio.agc.status,
+                            "block": i // block})
 
     pcm = np.frombuffer(radio.pcm, np.float32)
     with open("pcm.f32", "wb") as f:

@@ -43,9 +43,14 @@ def main():
     print("active channels:", sorted(int(c) for c in hot),
           "(expected", sorted(stations), ")")
 
-    # 2) demodulate every channel
+    # 2) demodulate every channel (profiler annotation around the jitted
+    # step; per-block metrics line to stderr)
+    from tpudsp.utils.profiling import annotate, stage_report
     bank = ChannelizedBank(cfg, block_len=n)
-    audio = np.asarray(bank(iq))  # (1024, n/1024) at ~97.7 kHz per channel
+    with annotate("fm_scanner.bank_block"):
+        audio = np.asarray(bank(iq))  # (1024, n/1024) at ~97.7 kHz/channel
+    stage_report("fm_scanner.block", out=audio,
+                 extra={"channels": int(audio.shape[0])})
     print(f"channelized {n} samples -> audio {audio.shape}")
     for c, f in stations.items():
         tail = audio[c, 128:]

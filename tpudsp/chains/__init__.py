@@ -4,6 +4,7 @@ multi-channel banks (config 3+)."""
 
 from .am import AMConfig, AMReceiver, am_step_composed, am_step_fused, build as am_build
 from .bank import BankConfig, ReceiverBank, bank_step, build as bank_build
+from .metrics import BlockMetrics
 from .channelizer import (
     ChannelizedBank, ChannelizedBankConfig, Channelizer, ChannelizerConfig,
 )
@@ -12,7 +13,7 @@ from .wbfm import WBFMStereoReceiver, mono_receiver
 
 __all__ = [
     "AMConfig", "AMReceiver", "am_step_composed", "am_step_fused", "am_build",
-    "BankConfig", "ReceiverBank", "bank_step", "bank_build",
+    "BankConfig", "BlockMetrics", "ReceiverBank", "bank_step", "bank_build",
     "ChannelizedBank", "ChannelizedBankConfig", "Channelizer",
     "ChannelizerConfig", "SSBConfig", "SSBReceiver", "WBFMStereoReceiver",
     "mono_receiver",

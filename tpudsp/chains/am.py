@@ -43,6 +43,8 @@ from ..kernels import iir as kiir
 from ..kernels import pll as kpll
 from ..kernels import resamp as krs
 from ..kernels import warmup as kwarm
+from . import metrics as kmet
+from .metrics import BlockMetrics
 
 
 @dataclass(frozen=True)
@@ -190,37 +192,57 @@ def _back_end(params: AMParams, state: AMState, baseband, cfg: AMConfig, exact: 
     return agc_state, am_state, d_state, pcm, modes
 
 
+def _chain_metrics(agc_state, am_state) -> BlockMetrics:
+    return BlockMetrics(
+        rssi=kmet.rssi_db(agc_state.g),
+        squelch_modes=None,  # filled by the step (full per-sample tensor)
+        pll_freq=am_state.pll.freq,
+        # block lengths are chosen to make the output count integral, so
+        # the carried fractional credit is 0 by construction (SURVEY Q8)
+        resamp_credit=jnp.float32(0.0),
+    )
+
+
 def am_step_composed(params: AMParams, state: AMState, iq, *, cfg: AMConfig,
                      exact: bool = False, backend: str = "xla"):
-    """Reference-ordered chain: bandpass -> resample -> agc -> am -> deemph."""
-    fir_tail, bb = kfir.fir_apply(params.h_bp, state.fir_tail, iq)
+    """Reference-ordered chain: bandpass -> resample -> agc -> am -> deemph.
+    Returns (state, (pcm, BlockMetrics))."""
+    with jax.named_scope("am.front.bandpass"):
+        fir_tail, bb = kfir.fir_apply(params.h_bp, state.fir_tail, iq)
     ntaps = params.H_rs.shape[1]
-    rs_tail, y48 = krs.resamp_apply(
-        params.H_rs, state.rs_tail[-ntaps:], bb, params.q, params.frac)
-    rs_tail_full = jnp.concatenate([state.rs_tail, bb])[-state.rs_tail.shape[0]:]
-    agc_state, am_state, d_state, pcm, modes = _back_end(
-        params, state, y48, cfg, exact, backend)
+    with jax.named_scope("am.front.resample"):
+        rs_tail, y48 = krs.resamp_apply(
+            params.H_rs, state.rs_tail[-ntaps:], bb, params.q, params.frac)
+        rs_tail_full = jnp.concatenate([state.rs_tail, bb])[-state.rs_tail.shape[0]:]
+    with jax.named_scope("am.back_end"):
+        agc_state, am_state, d_state, pcm, modes = _back_end(
+            params, state, y48, cfg, exact, backend)
     new_state = AMState(fir_tail, rs_tail_full, agc_state, am_state, d_state)
-    return new_state, (pcm, modes)
+    metrics = _chain_metrics(agc_state, am_state)._replace(squelch_modes=modes)
+    return new_state, (pcm, metrics)
 
 
 def am_step_fused(params: AMParams, state: AMState, iq, *, cfg: AMConfig,
                   exact: bool = False, backend: str = "xla"):
     """Fused front end: bandpass+anti-alias+decimate evaluated only at
     output points (output k = j*P + r at input offset j*Q + floor(r*Q/P))
-    as P blocked MXU matmuls (tpudsp/kernels/decimate.py)."""
+    as P blocked MXU matmuls (tpudsp/kernels/decimate.py).
+    Returns (state, (pcm, BlockMetrics))."""
     P, Q = _rational(cfg.rate)
     n_out = params.q.shape[0]
     nj = n_out // P
     offsets = [(r * Q) // P for r in range(P)]
     # the fused filter length kf equals the full rs_tail here (build sizes
     # it as max(2m, kf) and kf >= 2m always for a TIR bandpass)
-    rs_tail_full, y48 = kdec.fused_frontend_apply(
-        params.taps_fused, state.rs_tail, iq, offsets, Q, nj)
-    agc_state, am_state, d_state, pcm, modes = _back_end(
-        params, state, y48, cfg, exact, backend)
+    with jax.named_scope("am.front.fused"):
+        rs_tail_full, y48 = kdec.fused_frontend_apply(
+            params.taps_fused, state.rs_tail, iq, offsets, Q, nj)
+    with jax.named_scope("am.back_end"):
+        agc_state, am_state, d_state, pcm, modes = _back_end(
+            params, state, y48, cfg, exact, backend)
     new_state = AMState(state.fir_tail, rs_tail_full, agc_state, am_state, d_state)
-    return new_state, (pcm, modes)
+    metrics = _chain_metrics(agc_state, am_state)._replace(squelch_modes=modes)
+    return new_state, (pcm, metrics)
 
 
 class AMReceiver:
@@ -239,16 +261,20 @@ class AMReceiver:
         self.block_len = int(block_len)
         self.plan = plan
         self.params, self.state, self.n_out = build(cfg, self.block_len)
+        self.metrics = None  # BlockMetrics of the last processed block
         step = am_step_fused if plan == "fused" else am_step_composed
         self._step = jax.jit(partial(step, cfg=cfg, exact=exact, backend=backend))
 
     def __call__(self, iq):
+        from ..utils.profiling import annotate
         iq = jnp.asarray(iq, jnp.complex64)
         if iq.shape[0] != self.block_len:
             raise ValueError(f"expected block of {self.block_len} samples")
-        self.state, (pcm, modes) = self._step(self.params, self.state, iq)
+        with annotate("AMReceiver.step"):
+            self.state, (pcm, metrics) = self._step(self.params, self.state, iq)
+        self.metrics = metrics  # chains/metrics.BlockMetrics for this block
         return pcm
 
     def step_fn(self):
-        """(params, state, iq) -> (state, (pcm, modes)), jit-ready."""
+        """(params, state, iq) -> (state, (pcm, BlockMetrics)), jit-ready."""
         return self._step

@@ -43,6 +43,8 @@ from ..kernels import freqdem as kfd
 from ..kernels import iir as kiir
 from ..kernels import warmup as kwarm
 from ..kernels.pll import PllState
+from . import metrics as kmet
+from .metrics import BlockMetrics
 
 TWO_PI = 2.0 * np.pi
 
@@ -250,7 +252,7 @@ def _audio_decimate(A, h2, D2, nj):
 def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig,
               backend: str = "xla"):
     """iq: (N,) complex64 shared stream, N multiple of decim1*decim2.
-    Returns (state, audio (C, N/(decim1*decim2)) float32).
+    Returns (state, (audio (C, N/(decim1*decim2)) float32, BlockMetrics)).
 
     backend selects the engine for the coherent-AM feedback scans when
     cfg.am_coherent: 'xla' (vmapped warmup-chunk scans) or 'pallas' (the
@@ -295,6 +297,7 @@ def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig,
 
     am_idx = _am_indices(cfg)
     front, dc = state.front, state.dc
+    sq_modes = None
     if cfg.am_coherent and am_idx:
         # coherent AM channels: AGC gain loop + carrier PLL (batched
         # feedback scans) -> DC tracker (first-order assoc scan), all at
@@ -308,11 +311,11 @@ def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig,
         if backend == "pallas" and w <= kwarm.PALLAS_WARMUP_MAX:
             from ..pallas import enabled
             from ..pallas.am_backend_scan import front_chunked_pallas
-            front, (vr, _modes) = front_chunked_pallas(
+            front, (vr, sq_modes) = front_chunked_pallas(
                 params.amb, state.front, y_am, warmup=w,
                 interpret=not enabled())
         else:
-            front, (vr, _modes) = jax.vmap(
+            front, (vr, sq_modes) = jax.vmap(
                 lambda s, xs: kab.front_chunked(
                     params.amb, s, xs, chunk=kwarm.chunk_for(w), warmup=w)
             )(state.front, y_am)
@@ -363,11 +366,21 @@ def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig,
         front=front, dc=dc,
         y1_tail=y1_tail,
     )
-    return new_state, audio
+    # per-block metrics (SURVEY section 5): the coherent AM channels carry
+    # AGC rssi, the squelch-mode tensor and the recovered-carrier PLL
+    # frequency; non-coherent banks report None fields
+    metrics = BlockMetrics(
+        rssi=None if front is None else kmet.rssi_db(front.agc.g),
+        squelch_modes=sq_modes,
+        pll_freq=None if front is None else front.pll.freq,
+        resamp_credit=None,  # integer decimators: no fractional credit
+    )
+    return new_state, (audio, metrics)
 
 
 class ReceiverBank:
-    """Stateful multi-channel bank over fixed-size shared-IQ blocks."""
+    """Stateful multi-channel bank over fixed-size shared-IQ blocks.
+    After each call, ``self.metrics`` holds the block's BlockMetrics."""
 
     def __init__(self, cfg: BankConfig, block_len: int = 1_000_000,
                  backend: str = "xla"):
@@ -379,9 +392,13 @@ class ReceiverBank:
         self.cfg = cfg
         self.block_len = block_len
         self.params, self.state = build(cfg)
+        self.metrics = None
         self._step = jax.jit(partial(bank_step, cfg=cfg, backend=backend))
 
     def __call__(self, iq):
+        from ..utils.profiling import annotate
         iq = jnp.asarray(iq, jnp.complex64)
-        self.state, audio = self._step(self.params, self.state, iq)
+        with annotate("ReceiverBank.step"):
+            self.state, (audio, metrics) = self._step(self.params, self.state, iq)
+        self.metrics = metrics
         return audio

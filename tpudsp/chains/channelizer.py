@@ -34,6 +34,8 @@ from ..kernels import am_backend as kab
 from ..kernels import iir as kiir
 from ..kernels import warmup as kwarm
 from ..kernels.pll import PllState
+from . import metrics as kmet
+from .metrics import BlockMetrics
 
 TWO_PI = 2.0 * np.pi
 
@@ -203,6 +205,7 @@ def bank_step(params, state: DemodBankState, x, *, cfg: ChannelizedBankConfig,
                              os=cfg.channelizer.oversample)  # (M, C)
     Yc = Y.T                                       # (C, M)
     front, dc = state.front, state.dc
+    sq_modes = None
     if cfg.demod == "fm":
         xprev = jnp.concatenate([state.fd_prev[:, None], Yc[:, :-1]], axis=1)
         d = Yc * jnp.conj(xprev)
@@ -215,10 +218,10 @@ def bank_step(params, state: DemodBankState, x, *, cfg: ChannelizedBankConfig,
         if backend == "pallas" and w <= kwarm.PALLAS_WARMUP_MAX:
             from ..pallas import enabled
             from ..pallas.am_backend_scan import front_chunked_pallas
-            front, (vr, _modes) = front_chunked_pallas(
+            front, (vr, sq_modes) = front_chunked_pallas(
                 amb, state.front, Yc, warmup=w, interpret=not enabled())
         else:
-            front, (vr, _modes) = jax.vmap(
+            front, (vr, sq_modes) = jax.vmap(
                 lambda s, xs: kab.front_chunked(
                     amb, s, xs, chunk=kwarm.chunk_for(w), warmup=w)
             )(state.front, Yc)
@@ -232,10 +235,19 @@ def bank_step(params, state: DemodBankState, x, *, cfg: ChannelizedBankConfig,
     deemph, audio = jax.vmap(
         lambda y0, xs: kiir.first_order_apply(b0, a, y0, xs)
     )(state.deemph, base)
-    return DemodBankState(ch_state, fd_prev, deemph, front, dc), audio
+    metrics = BlockMetrics(
+        rssi=None if front is None else kmet.rssi_db(front.agc.g),
+        squelch_modes=sq_modes,
+        pll_freq=None if front is None else front.pll.freq,
+        resamp_credit=None,
+    )
+    return DemodBankState(ch_state, fd_prev, deemph, front, dc), (audio,
+                                                                  metrics)
 
 
 class ChannelizedBank:
+    """After each call, ``self.metrics`` holds the block's BlockMetrics."""
+
     def __init__(self, cfg: ChannelizedBankConfig = ChannelizedBankConfig(),
                  block_len: int = 1 << 20, backend: str = "xla"):
         if block_len % cfg.channelizer.nchan:
@@ -245,9 +257,14 @@ class ChannelizedBank:
         self.cfg = cfg
         self.block_len = block_len
         self.params, self.state = bank_build(cfg)
+        self.metrics = None
         self._step = jax.jit(partial(bank_step, cfg=cfg, backend=backend))
 
     def __call__(self, iq):
+        from ..utils.profiling import annotate
         iq = jnp.asarray(iq, jnp.complex64)
-        self.state, audio = self._step(self.params, self.state, iq)
+        with annotate("ChannelizedBank.step"):
+            self.state, (audio, metrics) = self._step(self.params, self.state,
+                                                      iq)
+        self.metrics = metrics
         return audio
