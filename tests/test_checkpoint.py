@@ -47,3 +47,25 @@ def test_stage_report(capsys):
     assert rec["out_rms"] == 1.0
     assert rec["squelch_modes"] == {7: 60, 2: 4}
     assert "agc" in buf.getvalue()
+
+
+def test_load_state_rejects_mismatched_snapshot(tmp_path):
+    """Round-1 VERDICT weak #7: a stale/mismatched snapshot must raise,
+    not silently mis-assign compatible-shaped leaves."""
+    import pytest
+    from tpudsp.kernels import agc as kagc
+    from tpudsp.kernels import pll as kpll
+    p = os.path.join(tmp_path, "st.npz")
+    save_state(p, kagc.agc_init())
+    # different structure entirely
+    with pytest.raises(ValueError, match="different state structure"):
+        load_state(p, kpll.pll_init())
+    # same structure, wrong leaf shapes
+    import jax
+    import jax.numpy as jnp
+    wide = jax.tree.map(lambda v: jnp.broadcast_to(v, (4,)), kagc.agc_init())
+    with pytest.raises(ValueError, match="shape"):
+        load_state(p, wide)
+    # the happy path still round-trips
+    st = load_state(p, kagc.agc_init())
+    assert float(st.g) == float(kagc.agc_init().g)

@@ -30,8 +30,24 @@ def save_state(path: str, state) -> None:
 
 def load_state(path: str, like):
     """Load a state pytree saved by save_state; ``like`` provides the tree
-    structure (e.g. the op's current state). Returns the restored pytree."""
+    structure (e.g. the op's current state). The snapshot's own recorded
+    treedef and per-leaf shapes are validated against ``like`` -- a stale
+    or mismatched snapshot raises instead of silently mis-assigning
+    compatible-shaped leaves. Returns the restored pytree."""
     data = np.load(path, allow_pickle=False)
     leaves = [data[f"leaf_{i}"] for i in range(len(data.files) - 1)]
-    _, treedef = jax.tree.flatten(like)
+    like_leaves, treedef = jax.tree.flatten(like)
+    saved_treedef = json.loads(bytes(data["__treedef__"]).decode())
+    if saved_treedef != str(treedef):
+        raise ValueError(
+            f"checkpoint {path!r} holds a different state structure:\n"
+            f"  saved:    {saved_treedef}\n  expected: {treedef}")
+    if len(leaves) != len(like_leaves):
+        raise ValueError(f"checkpoint {path!r} has {len(leaves)} leaves, "
+                         f"expected {len(like_leaves)}")
+    for i, (got, want) in enumerate(zip(leaves, like_leaves)):
+        if np.shape(got) != np.shape(np.asarray(want)):
+            raise ValueError(
+                f"checkpoint {path!r} leaf {i} has shape {np.shape(got)}, "
+                f"expected {np.shape(np.asarray(want))}")
     return jax.tree.unflatten(treedef, leaves)

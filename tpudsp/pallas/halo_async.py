@@ -1,0 +1,185 @@
+"""Compute-overlapped halo exchange for the time-sharded bank front end
+(SURVEY.md sections 2.3/5 "pltpu.make_async_remote_copy"; round-1 VERDICT
+"do this" #5).
+
+The ppermute halo path (tpudsp/parallel/halo.py) serializes: exchange the
+(taps1-1)-sample input halo, THEN run the front-end matmul. Here one
+Pallas kernel per shard:
+
+1. starts an async inter-chip RDMA of this shard's input tail to the
+   right time neighbor (ring over the ``time`` mesh axis),
+2. computes every INTERIOR output tile of the strided channel-filter
+   matmul while the DMA is in flight -- interior outputs read only local
+   samples, and for the default bank (128 taps, decimate 10) they are
+   ~99.9% of the block,
+3. waits on the RDMA and computes the single BOUNDARY tile from the
+   received halo (the globally-first shard substitutes the block-carried
+   tail).
+
+The matmul is the same wide-MXU formulation as
+kernels/decimate.strided_cfir_matmul_wide (windows = Kc shifted frame
+slices; complex packed into one real (S, 2*K1) @ (2*K1, 2*C) product), so
+the ppermute and async paths agree to float precision -- pinned by
+tests/test_halo_async.py on the virtual CPU mesh (interpret mode; the
+same kernel lowers through Mosaic on a real TPU mesh).
+
+Tiles stream HBM -> VMEM with explicit async copies, so VMEM holds one
+(span, ) input slice + one (tile, 2C) output tile regardless of block
+length.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(xr_ref, xi_ref, tail_ref, send_ref, TT_ref, out_ref,
+            halo_ref, xv_ref, yv_ref,
+            rdma_send_sem, rdma_recv_sem, load_sem, store_sem,
+            *, axis_name, n_shards, D1, Kc, halo_len, S, nj, C2, interpret):
+    win = Kc * D1
+    span = (S - 1) * D1 + win
+    my = lax.axis_index(axis_name)
+    right = lax.rem(my + 1, n_shards)
+
+    # 1. halo RDMA to the right neighbor, in flight through step 2.
+    # device_id as a dict: unnamed mesh axes default to this device's own
+    # coordinate (ring stays within e.g. a fixed 'channel' row). NOTE:
+    # interpret mode only discharges single-named-axis meshes and wants a
+    # bare scalar; Mosaic lowers the dict form on real TPU meshes.
+    rdma = pltpu.make_async_remote_copy(
+        src_ref=send_ref, dst_ref=halo_ref,
+        send_sem=rdma_send_sem, recv_sem=rdma_recv_sem,
+        device_id=right if interpret else {axis_name: right},
+        device_id_type=pltpu.DeviceIdType.MESH)
+    rdma.start()
+
+    TT = TT_ref[...]  # (2*win, 2C)
+
+    def tile_outputs(xb):
+        """xb: (span,) x (2,) f32 -> (S, 2C) f32 via the wide matmul."""
+        xr, xi = xb
+        M = S + Kc - 1
+
+        def windows(v):
+            F = v[: M * D1].reshape(M, D1)
+            return jnp.concatenate([F[c:c + S] for c in range(Kc)], axis=1)
+
+        W = jnp.concatenate([windows(xr), windows(xi)], axis=1)  # (S, 2win)
+        return jnp.dot(W, TT, preferred_element_type=jnp.float32)
+
+    def store(s, Y):
+        yv_ref[...] = Y
+        cp = pltpu.make_async_copy(yv_ref, out_ref.at[pl.ds(s, S)], store_sem)
+        cp.start()
+        cp.wait()
+
+    # 2. interior tiles (outputs [S, nj)), overlapped with the RDMA
+    n_tiles = -(-(nj - S) // S) if nj > S else 0
+
+    if n_tiles > 0:  # static: a zero-trip loop must not trace OOB slices
+        def body(t, _):
+            s = jnp.minimum((t + 1) * S, nj - S)  # clamp: last tile overlaps
+            xs = s * D1 - halo_len
+            cp = pltpu.make_async_copy(
+                xr_ref.at[pl.ds(xs, span)], xv_ref.at[0], load_sem)
+            cp.start()
+            cp.wait()
+            cp = pltpu.make_async_copy(
+                xi_ref.at[pl.ds(xs, span)], xv_ref.at[1], load_sem)
+            cp.start()
+            cp.wait()
+            store(s, tile_outputs((xv_ref[0], xv_ref[1])))
+            return _
+
+        lax.fori_loop(0, n_tiles, body, 0)
+
+    # 3. boundary tile (outputs [0, S)): wait for the halo, prepend it
+    rdma.wait()
+    cp = pltpu.make_async_copy(
+        xr_ref.at[pl.ds(0, span - halo_len)],
+        xv_ref.at[0, pl.ds(halo_len, span - halo_len)], load_sem)
+    cp.start()
+    cp.wait()
+    cp = pltpu.make_async_copy(
+        xi_ref.at[pl.ds(0, span - halo_len)],
+        xv_ref.at[1, pl.ds(halo_len, span - halo_len)], load_sem)
+    cp.start()
+    cp.wait()
+    # globally-first shard uses the block-carried tail, not the ring halo
+    use_tail = (my == 0)
+    xv_ref[0, pl.ds(0, halo_len)] = jnp.where(
+        use_tail, tail_ref[0], halo_ref[0])
+    xv_ref[1, pl.ds(0, halo_len)] = jnp.where(
+        use_tail, tail_ref[1], halo_ref[1])
+    store(0, tile_outputs((xv_ref[0], xv_ref[1])))
+
+
+def bank_front_async(iq_loc, tail, Tre, Tim, D1: int, nj: int,
+                     axis_name: str, n_shards: int, tile: int = 1024,
+                     interpret: bool = False):
+    """Drop-in for the ppermute-halo + strided_cfir_matmul_wide front end
+    of parallel/bank.sharded_bank_step (call under shard_map over
+    ``axis_name``).
+
+    iq_loc: (n_loc,) complex64 local slice; tail: (taps1-1,) complex64
+    block-carried fill for the leftmost shard; Tre/Tim: (C, Kc, D1)
+    blocked correlation-order taps. Returns y1m (C, nj) complex64."""
+    C, Kc, D1_ = Tre.shape
+    assert D1_ == D1
+    win = Kc * D1
+    halo_len = tail.shape[0]
+    S = min(tile, nj)
+    if S * D1 < halo_len:
+        raise ValueError("tile too small: S*D1 must cover the halo")
+    span = (S - 1) * D1 + win
+
+    xr = iq_loc.real.astype(jnp.float32)
+    xi = iq_loc.imag.astype(jnp.float32)
+    # input may be shorter than the largest window reach (win - D1 -
+    # halo_len short, covered by zero taps in the ppermute path's X);
+    # pad explicitly so tile loads stay in bounds
+    pad = max(0, (nj - 1) * D1 + win - halo_len - iq_loc.shape[0])
+    if pad:
+        xr = jnp.pad(xr, (0, pad))
+        xi = jnp.pad(xi, (0, pad))
+    send = jnp.stack([xr[iq_loc.shape[0] - halo_len: iq_loc.shape[0]],
+                      xi[iq_loc.shape[0] - halo_len: iq_loc.shape[0]]])
+    tail2 = jnp.stack([tail.real, tail.imag]).astype(jnp.float32)
+    Tr = Tre.reshape(C, win).T
+    Ti = Tim.reshape(C, win).T
+    TT = jnp.concatenate(
+        [jnp.concatenate([Tr, Ti], axis=1),
+         jnp.concatenate([-Ti, Tr], axis=1)], axis=0)  # (2*win, 2C)
+
+    kern = partial(_kernel, axis_name=axis_name, n_shards=n_shards,
+                   D1=D1, Kc=Kc, halo_len=halo_len, S=S, nj=nj, C2=2 * C,
+                   interpret=interpret)
+    Y = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((nj, 2 * C), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),    # xr
+                  pl.BlockSpec(memory_space=pl.ANY),    # xi
+                  pl.BlockSpec(memory_space=pltpu.VMEM),  # tail
+                  pl.BlockSpec(memory_space=pltpu.VMEM),  # send
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],  # TT
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, halo_len), jnp.float32),       # halo dst
+            pltpu.VMEM((2, span), jnp.float32),           # input tile
+            pltpu.VMEM((S, 2 * C), jnp.float32),          # output tile
+            pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True,
+                                             collective_id=7),
+        interpret=interpret,
+    )(xr, xi, tail2, send, TT)
+    return (Y[:, :C].T + 1j * Y[:, C:].T).astype(jnp.complex64)

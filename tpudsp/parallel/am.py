@@ -150,7 +150,6 @@ class ShardedAMReceiver:
                       jax.tree.map(lambda _: P(), amb),
                       state_in, P(TIME_AXIS)),
             out_specs=(state_out, P(None, TIME_AXIS)),
-            check_vma=False,
         )
 
         def step(taps, amb, state, iq):

@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..chains.bank import BankConfig, BankParams, BankState, build  # noqa: F401
 from .halo import left_halo
-from .mesh import CHANNEL_AXIS, TIME_AXIS
+from .mesh import CHANNEL_AXIS, TIME_AXIS, to_varying
 
 TWO_PI = 2.0 * np.pi
 
@@ -62,7 +62,8 @@ def _deemph_time_sharded(b0, a, y0, x_local):
     u_all = lax.all_gather(agg[1], TIME_AXIS)        # (T, C)
     idx = lax.axis_index(TIME_AXIS)
     T = lax.axis_size(TIME_AXIS)
-    # exclusive prefix over the tiny T axis (sequential, T elements)
+    # exclusive prefix over the tiny T axis (sequential, T elements);
+    # the carry init is constant but becomes per-shard (idx-dependent)
     def body(carry, t):
         pa, pu = carry
         take = t < idx
@@ -70,8 +71,9 @@ def _deemph_time_sharded(b0, a, y0, x_local):
         pu2 = jnp.where(take, pu * a_all[t] + jnp.where(take, u_all[t], 0.0), pu)
         return (pa2, pu2), None
 
-    (pa, pu), _ = lax.scan(body, (jnp.ones_like(agg[0]), jnp.zeros_like(agg[1])),
-                           jnp.arange(T))
+    init = to_varying((jnp.ones_like(agg[0]), jnp.zeros_like(agg[1])),
+                      TIME_AXIS)
+    (pa, pu), _ = lax.scan(body, init, jnp.arange(T))
     # entry value for this shard = pa * y0 + pu
     y_entry = pa * y0 + pu
     y_local = ap * y_entry[..., None] + up
@@ -100,6 +102,10 @@ def coherent_am_time_sharded(amb, front0, dc0, y1, warmup: int):
     w = min(warmup, nj1)
     halo = _left_halo_1d(y1, w, jnp.zeros((y1.shape[0], w), y1.dtype))
     not_first = lax.axis_index(TIME_AXIS) > 0
+    # the block-carried entry state is replicated over 'time'; the warmup
+    # scan output varies per shard -- mark the carry varying explicitly so
+    # shard_map's replication checking (check_vma) can verify the rest
+    front0 = to_varying(front0, TIME_AXIS)
 
     def warm(st0, xs):
         def step(st, xn):
@@ -120,22 +126,39 @@ def coherent_am_time_sharded(amb, front0, dc0, y1, warmup: int):
     return front, dc, (vr - dct) * amb.inv_mod
 
 
-def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig):
+def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig,
+                      halo: str = "ppermute"):
     """Per-shard body (call under shard_map). iq: local (N_loc,) slice.
     params.taps_*/dtheta/h2 carry a local channel shard; state fields are
-    sharded to match. Returns (new_state, audio_local)."""
+    sharded to match. Returns (new_state, audio_local).
+
+    halo='ppermute' (default) exchanges the channel-filter input halo with
+    lax.ppermute before the front-end matmul; halo='async' overlaps the
+    exchange with the matmul in one Pallas kernel
+    (tpudsp/pallas/halo_async.py: inter-chip RDMA in flight while the
+    interior output tiles compute). TPU-only for multi-axis meshes --
+    interpret mode (CPU) discharges single-named-axis meshes only, so the
+    CPU equivalence pin lives in tests/test_halo_async.py."""
     C_loc = params.dtheta.shape[0]
     D1, D2 = cfg.decim1, cfg.decim2
     K1, K2 = cfg.taps1, cfg.taps2
     n_loc = iq.shape[0]
     t_idx = lax.axis_index(TIME_AXIS)
 
-    halo_in = _left_halo_1d(iq, K1 - 1, state.in_tail)
-    X = jnp.concatenate([halo_in, iq])
     from ..kernels import decimate as kdec
     nj1 = n_loc // D1
-    y1m = kdec.strided_cfir_matmul_wide(
-        X, params.taps_re, params.taps_im, D1, nj1)
+    if halo == "async":
+        from ..pallas import enabled
+        from ..pallas.halo_async import bank_front_async
+        y1m = bank_front_async(
+            iq, state.in_tail, params.taps_re, params.taps_im, D1, nj1,
+            TIME_AXIS, lax.axis_size(TIME_AXIS), interpret=not enabled())
+        X = jnp.concatenate([state.in_tail, iq])  # only the tail is used
+    else:
+        halo_in = _left_halo_1d(iq, K1 - 1, state.in_tail)
+        X = jnp.concatenate([halo_in, iq])
+        y1m = kdec.strided_cfir_matmul_wide(
+            X, params.taps_re, params.taps_im, D1, nj1)
 
     # rotation with the GLOBAL output index: m_glob = t_idx*n_loc/D1 + m
     m0 = (t_idx.astype(jnp.uint32) * jnp.uint32(nj1))
@@ -231,7 +254,11 @@ class ShardedBank:
     leftmost-fill path of the halo exchange. A (1, 1) mesh reproduces the
     single-chip chains/bank.py bank_step exactly (tested)."""
 
-    def __init__(self, cfg: BankConfig, mesh: Mesh, block_len: int):
+    def __init__(self, cfg: BankConfig, mesh: Mesh, block_len: int,
+                 halo: str = "ppermute"):
+        if halo not in ("ppermute", "async"):
+            raise ValueError(f"unknown halo {halo!r} "
+                             "(use 'ppermute' or 'async')")
         if cfg.am_coherent and cfg.demod != "am":
             raise NotImplementedError(
                 "sharded am_coherent needs a uniform demod='am' bank "
@@ -277,7 +304,7 @@ class ShardedBank:
             front=front_spec, dc=dc_spec,
             y1_tail=P(CHANNEL_AXIS) if has_ssb else None,
         )
-        body = partial(sharded_bank_step, cfg=cfg)
+        body = partial(sharded_bank_step, cfg=cfg, halo=halo)
         mapped = jax.shard_map(
             body, mesh=mesh,
             in_specs=(param_specs, state_specs, P(TIME_AXIS)),
@@ -289,7 +316,6 @@ class ShardedBank:
                 front=front_out, dc=dc_out,
                 y1_tail=P(CHANNEL_AXIS, TIME_AXIS, None) if has_ssb else None,
             ), P(CHANNEL_AXIS, TIME_AXIS)),
-            check_vma=False,
         )
 
         def step(params, state, iq):

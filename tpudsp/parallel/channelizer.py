@@ -185,7 +185,6 @@ class ShardedChannelizer:
             body, mesh=mesh,
             in_specs=(P(), P(None, A), P(), P(A)),
             out_specs=(P(A, None), P(None, A, None)),
-            check_vma=False,
         )
 
         def step(Ht, tw, tail, x):
@@ -292,7 +291,6 @@ class ShardedChannelizedBank:
             out_specs=(TPBankState(tail=P(A, None), fd_prev=P(A, None),
                                    deemph=P(A, None)),
                        P(A, None, None)),
-            check_vma=False,
         )
 
         def step(params, state, x):

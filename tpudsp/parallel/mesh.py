@@ -26,6 +26,27 @@ CHANNEL_AXIS = "channel"
 TIME_AXIS = "time"
 
 
+def to_varying(x, axis_name: str = TIME_AXIS):
+    """Mark a replicated value as device-varying over ``axis_name`` (pytree
+    ok). shard_map's replication checking (check_vma) requires carries that
+    START replicated (block-carried stream state) but BECOME per-shard
+    (after mixing with halo data) to be cast explicitly."""
+    from jax import lax
+
+    def one(v):
+        try:
+            if axis_name in jax.typeof(v).vma:  # already varying: no-op
+                return v
+        except (AttributeError, TypeError):
+            pass
+        try:
+            return lax.pcast(v, (axis_name,), to="varying")
+        except AttributeError:  # older jax spelling
+            return lax.pvary(v, (axis_name,))
+
+    return jax.tree.map(one, x)
+
+
 def make_mesh(n_channel: int = 1, n_time: int = 1, devices=None) -> Mesh:
     """Build a (channel, time) mesh over the available devices."""
     devices = devices if devices is not None else jax.devices()

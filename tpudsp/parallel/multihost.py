@@ -150,7 +150,6 @@ class ShardedScanner:
                 fd_prev=P(None, TIME_AXIS), deemph=P(None, TIME_AXIS),
                 front=front_out, dc=dc_out),
                 P(None, TIME_AXIS)),
-            check_vma=False,
         )
 
         def step(params, state, iq):

@@ -35,6 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..chains.am import AMConfig, AMParams, AMState, _back_end, _rational, build
 from ..kernels import decimate as kdec
+from .mesh import to_varying
 
 STAGE_AXIS = "stage"
 N_STAGES = 2
@@ -82,7 +83,10 @@ def pipeline_step(params: AMParams, state: AMPipeState, iq, valid, *,
 
     new_tail, act = lax.cond(
         s_idx == 0, front,
-        lambda: (rs_tail, jnp.zeros((n_out,), jnp.complex64)))
+        # constants are replicated; mark them stage-varying to match the
+        # live branch under check_vma
+        lambda: (rs_tail, to_varying(jnp.zeros((n_out,), jnp.complex64),
+                                     STAGE_AXIS)))
 
     back_in = AMState(
         fir_tail=jnp.zeros((0,), jnp.complex64),
@@ -97,7 +101,7 @@ def pipeline_step(params: AMParams, state: AMPipeState, iq, valid, *,
     agc_s, am_s, d_s, pcm = lax.cond(
         jnp.logical_and(s_idx == 1, valid), back,
         lambda: (back_in.agc, back_in.am, back_in.deemph,
-                 jnp.zeros((n_out,), jnp.float32)))
+                 to_varying(jnp.zeros((n_out,), jnp.float32), STAGE_AXIS)))
 
     # hand the activation to the next stage (device 0 -> device 1)
     new_buf = lax.ppermute(act, STAGE_AXIS, [(0, 1)])
@@ -144,7 +148,6 @@ class PipelinedAMReceiver:
             body, mesh=self.mesh,
             in_specs=(P(), stage_specs, P(), P()),
             out_specs=(stage_specs, P(STAGE_AXIS, None)),
-            check_vma=False,
         )
         self._step = jax.jit(mapped)
 
