@@ -32,23 +32,59 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _make_rate_stream(log):
+    """Streaming-throughput measurer: ONE dispatch running `iters` blocks
+    chained through the carried state on device (lax.fori_loop).
+    Host-side repeated dispatches of the same executable measure
+    artifactually fast through the remote tunnel (above the HBM
+    roofline), so per-block timing must come from a device-side loop
+    whose data dependency forces real sequential execution. A cheap
+    audio-sum accumulates into the carry so the demod work cannot be
+    dead-code-eliminated."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def rate_stream(name, step, params, state0, x, n_samples, iters=10):
+        # params/state/x are jit ARGUMENTS (closure-captured device
+        # arrays would be inlined as MLIR constants, which fetches them
+        # to host -- unsupported through the remote backend). Every
+        # dispatch carries a fresh `salt` scalar folded into the carry:
+        # the remote runner serves REPEATED IDENTICAL executions from a
+        # cache (measured: "throughput" above the HBM roofline), so no
+        # two timed dispatches may have identical arguments.
+        @jax.jit
+        def many(p, st, v, salt):
+            def body(i, carry):
+                s, acc = carry
+                s2, out = step(p, s, v)
+                leaf = jax.tree.leaves(out)[0]
+                return s2, acc + jnp.sum(leaf).astype(jnp.float32)
+
+            return lax.fori_loop(0, iters, body, (st, salt))
+
+        jax.block_until_ready(many(params, state0, x, jnp.float32(-1.0)))
+        best = float("inf")
+        for r in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(many(params, state0, x, jnp.float32(r)))
+            best = min(best, (time.perf_counter() - t0) / iters)
+        log(f"{name}: {best*1e3:.2f} ms -> {n_samples/best/1e9:.2f} Gsamp/s")
+        return n_samples / best
+
+    return rate_stream
+
+
 def _bench_secondary(log):
     """Optional extra configs (BASELINE configs 2/3/4/5-core) to stderr,
     all on non-zero synthetic signals."""
-    import time
     import numpy as np
     import jax
     import jax.numpy as jnp
     from functools import partial
 
-    def rate(name, f, n_samples, iters=5):
-        jax.block_until_ready(f())
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = f()
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / iters
-        log(f"{name}: {dt*1e3:.2f} ms -> {n_samples/dt/1e9:.2f} Gsamp/s")
+    rate_stream = _make_rate_stream(log)
 
     def noise_iq(n, seed=0, scale=0.1):
         rng = np.random.default_rng(seed)
@@ -61,36 +97,37 @@ def _bench_secondary(log):
     # config 2: WBFM broadcast at 2.4 Msps -- mono (single-channel fm
     # bank, wrapper.cpp:265 rates scaled to the 2.4M input) and stereo
     # (600k composite decode + 48k two-phase decimation)
-    n2 = 1_000_000
+    n2 = 2_000_000  # keeps the stereo composite scans at 500k samples
     x2 = noise_iq(n2, seed=2)
     cfg_m = BankConfig(freqs=(0.0,), iq_rate=2_400_000.0, demod="fm",
                        decim1=10, decim2=5, kd=75_000.0 / 240_000.0)
     pm, sm = bbuild(cfg_m)
-    f2m = jax.jit(partial(bank_step, cfg=cfg_m))
-    rate("wbfm mono (config 2)", lambda: f2m(pm, sm, x2)[1], n2)
-    from tpudsp.chains.wbfm import WBFMStereoReceiver
+    rate_stream("wbfm mono (config 2)", partial(bank_step, cfg=cfg_m),
+                pm, sm, x2, n2)
+    from tpudsp.chains.wbfm import WBFMStereoReceiver, _stereo_step
     rx2s = WBFMStereoReceiver(block_len=n2)
-    rate("wbfm stereo (config 2)",
-         lambda: rx2s._step(rx2s._params, rx2s.state, x2)[1], n2)
+    rate_stream("wbfm stereo (config 2)",
+                lambda p, st, v: _stereo_step(p, st, v, cfg=rx2s.cfg),
+                rx2s._params, rx2s.state, x2, n2)
 
     # config 3: 16-channel bank
     cfg16 = BankConfig(freqs=tuple(float(f) for f in
                                    np.linspace(-1e6, 1e6, 16, endpoint=False)))
     p, s = bbuild(cfg16)
-    n = 4_000_000
+    n = 8_000_000
     x = noise_iq(n, seed=3)
-    f16 = jax.jit(partial(bank_step, cfg=cfg16))
-    rate("bank16 (config 3)", lambda: f16(p, s, x)[1], n)
+    rate_stream("bank16 (config 3)", partial(bank_step, cfg=cfg16),
+                p, s, x, n)
 
     # config 4: 1024-channel channelized bank
     from tpudsp.chains.channelizer import (
         ChannelizedBankConfig, bank_build, bank_step as chstep)
     ccfg = ChannelizedBankConfig()
     cp, cs = bank_build(ccfg)
-    nc = 1024 * 4096
+    nc = 1024 * 16384
     xc = noise_iq(nc, seed=4)
-    fch = jax.jit(partial(chstep, cfg=ccfg))
-    rate("channelized bank 1024ch (config 4)", lambda: fch(cp, cs, xc)[1], nc)
+    rate_stream("channelized bank 1024ch (config 4)",
+                partial(chstep, cfg=ccfg), cp, cs, xc, nc)
 
     # config 5 core: the wideband scanner on ONE chip (time axis = 1);
     # multi-chip scaling is measured by tpudsp.bench_scaling when a mesh
@@ -98,8 +135,9 @@ def _bench_secondary(log):
     from tpudsp.parallel import make_mesh
     from tpudsp.parallel.multihost import ShardedScanner
     sc = ShardedScanner(ccfg, make_mesh(1, 1), block_len=nc)
-    rate("scanner 1-chip (config 5 core)",
-         lambda: sc._step(sc.params, sc.state, xc)[1], nc)
+    rate_stream("scanner 1-chip (config 5 core)",
+                lambda p_, st, v: sc._step(p_, st, v),
+                sc.params, sc.state, xc, nc)
 
 
 def _impl(platform: str):
@@ -129,42 +167,18 @@ def _impl(platform: str):
           * np.exp(2j * np.pi * 200.0 / cfg.iq_rate * t)).astype(np.complex64)
     iq_j = jax.device_put(jnp.asarray(iq))
 
-    step = jax.jit(partial(am_step_fused, cfg=cfg, exact=False))
-
-    def run(p, s, x):
-        return step(p, s, x)[1][0]
-
-    for _ in range(2):  # warmup/compile
-        jax.block_until_ready(run(params, state, iq_j))
-    n_iter = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = run(params, state, iq_j)
-    jax.block_until_ready(out)
-    t_step = (time.perf_counter() - t0) / n_iter
-    sps = block / t_step
-    log(f"am_chain fused [{dev.platform}]: {t_step*1e3:.2f} ms/block "
-        f"-> {sps/1e9:.3f} Gsamp/s")
+    rate_stream = _make_rate_stream(log)
+    sps = rate_stream(f"am_chain fused [{dev.platform}]",
+                      partial(am_step_fused, cfg=cfg, exact=False),
+                      params, state, iq_j, block)
 
     # pallas fused back end variant: report whichever is faster as the metric
     try:
-        step_p = jax.jit(partial(am_step_fused, cfg=cfg, exact=False,
-                                 backend="pallas"))
-
-        def run_p(p, s, x):
-            return step_p(p, s, x)[1][0]
-
-        for _ in range(2):
-            jax.block_until_ready(run_p(params, state, iq_j))
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            out = run_p(params, state, iq_j)
-        jax.block_until_ready(out)
-        t_p = (time.perf_counter() - t0) / n_iter
-        log(f"am_chain fused+pallas-backend: {t_p*1e3:.2f} ms/block "
-            f"-> {block/t_p/1e9:.3f} Gsamp/s")
-        if t_p < t_step:
-            t_step, sps = t_p, block / t_p
+        sps_p = rate_stream("am_chain fused+pallas-backend",
+                            partial(am_step_fused, cfg=cfg, exact=False,
+                                    backend="pallas"),
+                            params, state, iq_j, block)
+        sps = max(sps, sps_p)
     except Exception as e:
         log(f"pallas-backend bench skipped: {type(e).__name__}: {e}")
     if "--all" in sys.argv:
@@ -186,7 +200,8 @@ def main():
         _impl(sys.argv[sys.argv.index(_IMPL_FLAG) + 1])
         return
     here = os.path.dirname(os.path.abspath(__file__))
-    attempts = [("default", 480), ("default", 300), ("cpu", 600)]
+    long = 900 if "--all" in sys.argv else 480
+    attempts = [("default", long), ("default", 300), ("cpu", 600)]
     for platform, deadline in attempts:
         try:
             extra = ["--all"] if "--all" in sys.argv else []
