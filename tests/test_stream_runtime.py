@@ -1,0 +1,94 @@
+"""StreamRuntime: the streaming executor must reproduce serial chain
+calls exactly (push order == processing order == state evolution), honor
+backpressure, and surface receiver errors on the caller thread."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from tpudsp.chains.am import AMConfig, AMReceiver
+from tpudsp.io import StreamRuntime, bytes_to_iq
+
+BLOCK = 12_500  # * 48k/2M = 300 output samples
+N_BLOCKS = 6
+
+
+def _am_bytes(n, seed=0):
+    """AM-modulated int16 IQ bytes (1 kHz message, 200 Hz carrier offset)."""
+    t = np.arange(n)
+    msg = np.sin(2 * np.pi * 1000.0 / 2e6 * t)
+    iq = ((1.0 + 0.5 * msg) * 0.3 * np.exp(2j * np.pi * 200.0 / 2e6 * t))
+    xs = np.empty(2 * n, np.int16)
+    xs[0::2] = np.round(iq.real * 32767 * 0.5)
+    xs[1::2] = np.round(iq.imag * 32767 * 0.5)
+    return xs.tobytes()
+
+
+def _serial_reference(raw):
+    rx = AMReceiver(AMConfig(), block_len=BLOCK)
+    iq = bytes_to_iq(raw)
+    return np.concatenate([
+        np.asarray(rx(iq[i * BLOCK:(i + 1) * BLOCK]))
+        for i in range(N_BLOCKS)])
+
+
+def test_stream_runtime_matches_serial_exactly():
+    raw = _am_bytes(N_BLOCKS * BLOCK)
+    want = _serial_reference(raw)
+
+    rt = StreamRuntime(AMReceiver(AMConfig(), block_len=BLOCK))
+
+    def producer():  # radio-driver thread, odd-sized pushes
+        step = 7_777 * 4
+        for i in range(0, len(raw), step):
+            while rt.push(raw[i:i + step]) == 0:
+                pass
+
+    th = threading.Thread(target=producer)
+    th.start()
+    th.join()
+    rt.stop(drain=True)
+    got = [a for a in iter(rt)]
+    assert rt.blocks_processed == N_BLOCKS
+    assert rt.stats["dropped_bytes"] == 0
+    np.testing.assert_array_equal(np.concatenate(got), want)
+
+
+def test_stream_runtime_on_audio_callback_and_metrics():
+    raw = _am_bytes(2 * BLOCK)
+    seen = []
+    rt = StreamRuntime(AMReceiver(AMConfig(), block_len=BLOCK),
+                       on_audio=lambda a, meta: seen.append((a, meta)))
+    rt.push(raw)
+    rt.stop(drain=True)
+    assert [m["block"] for _, m in seen] == [0, 1]
+    # the receiver exposes per-block metrics; the runtime forwards them
+    assert seen[-1][1]["metrics"] is not None
+    assert np.isfinite(float(seen[-1][1]["metrics"].rssi))
+    with pytest.raises(RuntimeError):
+        rt.pop_audio(timeout=0.01)
+
+
+def test_stream_runtime_partial_tail_block_discarded():
+    raw = _am_bytes(BLOCK + BLOCK // 2)
+    rt = StreamRuntime(AMReceiver(AMConfig(), block_len=BLOCK))
+    rt.push(raw)
+    rt.stop(drain=True)
+    assert rt.blocks_processed == 1
+    assert rt.stats["pending_bytes"] == (BLOCK // 2) * 4
+
+
+def test_stream_runtime_surfaces_receiver_errors():
+    def broken(_iq):
+        raise ValueError("boom")
+
+    rt = StreamRuntime(broken, block_len=BLOCK)
+    rt.push(_am_bytes(BLOCK))
+    with pytest.raises(ValueError, match="boom"):
+        rt.stop(drain=True)
+
+
+def test_stream_runtime_block_len_required_for_plain_callables():
+    with pytest.raises(ValueError, match="block_len"):
+        StreamRuntime(lambda iq: iq)

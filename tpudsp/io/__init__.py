@@ -1,5 +1,6 @@
-"""IQ ingest, block framing, and state checkpointing."""
+"""IQ ingest, block framing, streaming runtime, and state checkpointing."""
 
 from .ingest import IQStream, bytes_to_iq, u8_to_iq
+from .stream import StreamRuntime
 
-__all__ = ["IQStream", "bytes_to_iq", "u8_to_iq"]
+__all__ = ["IQStream", "StreamRuntime", "bytes_to_iq", "u8_to_iq"]
