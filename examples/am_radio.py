@@ -60,6 +60,23 @@ def main():
     print(f"{n} IQ samples -> {len(pcm)} PCM samples at {pcm_rate} Hz "
           f"(rms {np.sqrt((pcm[len(pcm)//2:]**2).mean()):.4f}) -> pcm.f32")
 
+    # Production mode: the same signal through the streaming runtime -- a
+    # radio-driver thread pushes raw bytes, the pump thread frames blocks
+    # and dispatches the single-jit AMReceiver chain, audio lands in a
+    # playable WAV (tpudsp/io/stream.py, wav.py).
+    from tpudsp.chains.am import AMConfig, AMReceiver
+    from tpudsp.io import StreamRuntime, WavSink
+
+    with WavSink("pcm.wav", pcm_rate) as sink:
+        # AMReceiver needs block_len * rate integral (planned shapes)
+        rt = StreamRuntime(AMReceiver(AMConfig(), block_len=250_000),
+                           on_audio=sink)
+        for i in range(0, n, 1 << 16):
+            rt.push(raw[2 * i: 2 * (i + (1 << 16))].tobytes())
+        rt.stop(drain=True)
+    print(f"streaming runtime: {rt.blocks_processed} blocks, "
+          f"{sink.frames_written} PCM frames -> pcm.wav  stats={rt.stats}")
+
 
 if __name__ == "__main__":
     main()

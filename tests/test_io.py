@@ -1,10 +1,11 @@
-"""IO layer tests: native byte conversion + SPSC stream framing."""
+"""IO layer tests: native byte conversion + SPSC stream framing + WAV."""
 
 import threading
+import wave
 
 import numpy as np
 
-from tpudsp.io import IQStream, bytes_to_iq, u8_to_iq
+from tpudsp.io import IQStream, WavSink, bytes_to_iq, u8_to_iq, write_wav
 
 
 def test_bytes_to_iq_matches_reference_semantics():
@@ -68,3 +69,37 @@ def test_iqstream_threaded_producer():
             got.append(b)
     th.join()
     np.testing.assert_array_equal(np.concatenate(got), bytes_to_iq(payload))
+
+
+def test_write_wav_roundtrip_mono_and_stereo(tmp_path):
+    rate = 48_000
+    t = np.arange(4800, dtype=np.float32)
+    mono = (0.5 * np.sin(2 * np.pi * 440 / rate * t)).astype(np.float32)
+    p = str(tmp_path / "m.wav")
+    write_wav(p, mono, rate)
+    with wave.open(p) as w:
+        assert (w.getnchannels(), w.getframerate(), w.getsampwidth()) == (1, rate, 2)
+        back = np.frombuffer(w.readframes(w.getnframes()), "<i2") / 32767.0
+    np.testing.assert_allclose(back, mono, atol=1 / 32767)
+
+    stereo = np.stack([mono, -mono], axis=1)  # FMStereo-style (N, 2)
+    p2 = str(tmp_path / "s.wav")
+    write_wav(p2, stereo, rate)
+    with wave.open(p2) as w:
+        assert w.getnchannels() == 2
+        back = np.frombuffer(w.readframes(w.getnframes()), "<i2"
+                             ).reshape(-1, 2) / 32767.0
+    np.testing.assert_allclose(back, stereo, atol=1 / 32767)
+
+
+def test_wav_sink_streaming_matches_one_shot(tmp_path):
+    rate = 48_000
+    rng = np.random.default_rng(1)
+    pcm = (rng.standard_normal(10_000) * 0.2).astype(np.float32)
+    p1, p2 = str(tmp_path / "a.wav"), str(tmp_path / "b.wav")
+    write_wav(p1, pcm, rate)
+    with WavSink(p2, rate) as sink:
+        for i in range(0, len(pcm), 1337):
+            sink(pcm[i:i + 1337])
+    assert sink.frames_written == len(pcm)
+    assert open(p1, "rb").read() == open(p2, "rb").read()

@@ -2,5 +2,7 @@
 
 from .ingest import IQStream, bytes_to_iq, u8_to_iq
 from .stream import StreamRuntime
+from .wav import WavSink, write_wav
 
-__all__ = ["IQStream", "StreamRuntime", "bytes_to_iq", "u8_to_iq"]
+__all__ = ["IQStream", "StreamRuntime", "WavSink", "bytes_to_iq",
+           "u8_to_iq", "write_wav"]
