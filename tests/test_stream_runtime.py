@@ -92,3 +92,47 @@ def test_stream_runtime_surfaces_receiver_errors():
 def test_stream_runtime_block_len_required_for_plain_callables():
     with pytest.raises(ValueError, match="block_len"):
         StreamRuntime(lambda iq: iq)
+
+
+def test_stream_runtime_stop_drain_does_not_deadlock_on_full_queue():
+    # ADVICE r2 medium: with more pending blocks than max_audio_blocks and
+    # a consumer that only reads AFTER stop() returns (the documented
+    # pattern), stop(drain=True) used to deadlock pump-vs-join. The drain
+    # bound is now lifted, so all complete blocks must come through.
+    n_blocks = 5
+    raw = _am_bytes(n_blocks * BLOCK)
+    rt = StreamRuntime(AMReceiver(AMConfig(), block_len=BLOCK),
+                       max_audio_blocks=1)
+    rt.push(raw)
+    rt.stop(drain=True)  # must return despite the size-1 audio queue
+    got = [a for a in iter(rt)]
+    assert len(got) == n_blocks
+    assert rt.blocks_processed == n_blocks
+
+
+def test_stream_runtime_push_after_stop_rejected():
+    rt = StreamRuntime(AMReceiver(AMConfig(), block_len=BLOCK))
+    rt.push(_am_bytes(BLOCK))
+    rt.stop(drain=True)
+    with pytest.raises(RuntimeError, match="stop"):
+        rt.push(_am_bytes(BLOCK))
+
+
+def test_stream_runtime_error_stays_visible():
+    # ADVICE r2 low: a pump error must be observable by every caller, not
+    # swallowed by whichever thread happened to poll first.
+    def broken(_iq):
+        raise ValueError("boom")
+
+    rt = StreamRuntime(broken, block_len=BLOCK)
+    rt.push(_am_bytes(BLOCK))
+    rt._pump.join(timeout=10)  # pump dies on the first block
+    # the producer thread's push() observes the pump failure ...
+    with pytest.raises(ValueError, match="boom"):
+        rt.push(_am_bytes(BLOCK))
+    # ... and so do stop() and pop_audio(), repeatedly — not just the
+    # first caller.
+    with pytest.raises(ValueError, match="boom"):
+        rt.stop(drain=True)
+    with pytest.raises(ValueError, match="boom"):
+        rt.pop_audio(timeout=0.01)

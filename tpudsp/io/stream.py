@@ -90,6 +90,8 @@ class StreamRuntime:
     def push(self, byts: bytes) -> int:
         """Feed raw IQ bytes; returns bytes accepted (0 = dropped whole)."""
         self._raise_if_failed()
+        if self._stopping:
+            raise RuntimeError("push() after stop(): runtime is stopped")
         n = self._stream.push(byts)
         self._data.set()
         return n
@@ -127,9 +129,23 @@ class StreamRuntime:
     def stop(self, drain: bool = True) -> None:
         """Stop the pump. drain=True first processes every complete block
         already in the ring (a partial tail block is discarded, as in the
-        reference's fixed-size callback framing)."""
+        reference's fixed-size callback framing).
+
+        While draining, the audio-queue bound is lifted so stop() cannot
+        deadlock against a consumer that only starts reading after stop()
+        returns (the documented consume-after-stop pattern). The extra
+        memory is bounded: at most ``capacity_blocks`` ring blocks remain
+        to drain.
+        """
         self._drain = drain
         self._stopping = True
+        if drain:
+            # queue.Queue re-checks maxsize under its mutex on every put;
+            # 0 means unbounded, so a pump blocked in put() proceeds on
+            # its next timed retry instead of deadlocking against join().
+            with self._audio.mutex:
+                self._audio.maxsize = 0
+                self._audio.not_full.notify_all()
         self._data.set()
         self._pump.join()
         self._raise_if_failed()
@@ -146,10 +162,12 @@ class StreamRuntime:
     # -- pump ----------------------------------------------------------------
 
     def _raise_if_failed(self):
+        # _error stays set once the pump fails: every thread that touches
+        # the runtime afterwards (producer push, consumer pop, stop) sees
+        # the same failure instead of only the first caller.
         if self._error is not None:
-            err, self._error = self._error, None
             self._stopping = True
-            raise err
+            raise self._error
 
     def _run(self):
         try:
