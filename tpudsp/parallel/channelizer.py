@@ -213,32 +213,56 @@ class TPBankState(NamedTuple):
     tail: jnp.ndarray      # (htail,) carried stream tail (replicated)
     fd_prev: jnp.ndarray   # (C1, C2) complex64, layout order, sharded c1
     deemph: jnp.ndarray    # (C1, C2) float32, layout order, sharded c1
+    front: object = None   # kab.FrontState, leaves (C1, C2) (coherent AM)
+    dc: object = None      # (C1, C2) f32 DC-tracker carry (coherent AM)
 
 
 def tp_bank_shard(params, state: TPBankState, x_loc, *,
                   cfg: ChannelizedBankConfig, C1: int, C2: int,
                   axis_name: str):
     """Channelize (distributed FFT) + per-channel demod, one shard body.
-    After the second all_to_all the channel axis is sharded, so the whole
-    demod back end (discriminator / envelope + de-emphasis scan) runs with
-    zero further communication. Returns (state-with-axes, audio
-    (C1_loc, C2, M))."""
-    Ht, tw, b0, a = params
+    After the second all_to_all the channel axis is sharded and each shard
+    holds the FULL time extent for its channels, so the whole demod back
+    end — including coherent AM's AGC + carrier-PLL feedback scans
+    (reference topology demod.hpp:87-152) — runs with zero further
+    communication. Returns (state-with-axes, audio (C1_loc, C2, M))."""
+    Ht, tw, b0, a, amb = params
     tail_out, Y = tp_channelize_shard(Ht, tw, state.tail, x_loc,
                                       C1=C1, C2=C2, axis_name=axis_name,
                                       os=cfg.channelizer.oversample)
     Yc = jnp.transpose(Y, (1, 2, 0))                    # (C1_loc, C2, M)
+    from ..kernels import iir as kiir
+    c1_loc, c2 = Yc.shape[0], Yc.shape[1]
+    c_loc = c1_loc * c2
+    front, dc = state.front, state.dc
     if cfg.demod == "fm":
         xprev = jnp.concatenate([state.fd_prev[:, :, None], Yc[:, :, :-1]],
                                 axis=2)
         d = Yc * jnp.conj(xprev)
         base = jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
             TWO_PI * cfg.kd)
+    elif cfg.am_coherent:
+        # per-channel feedback loops over the full local time axis — same
+        # warmup-chunked kernel as the single-chip bank (chains/
+        # channelizer.py bank_step), vmapped over this shard's channels
+        from ..kernels import am_backend as kab
+        from ..kernels import warmup as kwarm
+        w = kwarm.warmup_for(agc_alpha=cfg.agc_bandwidth, pll_bw=kab.PLL_BW)
+        fl = jax.tree.map(lambda v: v.reshape(c_loc), state.front)
+        front_f, (vr, _modes) = jax.vmap(
+            lambda s, xs: kab.front_chunked(
+                amb, s, xs, chunk=kwarm.chunk_for(w), warmup=w)
+        )(fl, Yc.reshape(c_loc, -1))
+        front = jax.tree.map(lambda v: v.reshape(c1_loc, c2), front_f)
+        dc_f, dct = jax.vmap(
+            lambda d0, v: kiir.first_order_apply(
+                1.0 - amb.dc_rho, amb.dc_rho, d0, v)
+        )(state.dc.reshape(c_loc), vr)
+        dc = dc_f.reshape(c1_loc, c2)
+        base = ((vr - dct) * amb.inv_mod).reshape(c1_loc, c2, -1)
     else:
         base = jnp.abs(Yc).astype(jnp.float32)
     fd_prev = Yc[:, :, -1]
-    from ..kernels import iir as kiir
-    c_loc = base.shape[0] * base.shape[1]
     deemph, audio = jax.vmap(
         lambda y0, xs: kiir.first_order_apply(b0, a, y0, xs)
     )(state.deemph.reshape(c_loc), base.reshape(c_loc, -1))
@@ -246,6 +270,7 @@ def tp_bank_shard(params, state: TPBankState, x_loc, *,
         tail=tail_out,                                   # (1, htail)
         fd_prev=fd_prev,
         deemph=deemph.reshape(base.shape[0], base.shape[1]),
+        front=front, dc=dc,
     )
     return new_state, audio.reshape(base.shape)
 
@@ -259,10 +284,6 @@ class ShardedChannelizedBank:
     def __init__(self, cfg: ChannelizedBankConfig, mesh: Mesh,
                  block_len: int, axis_name: str | None = None,
                  c1: int | None = None):
-        if getattr(cfg, "am_coherent", False):
-            raise NotImplementedError(
-                "ShardedChannelizedBank runs the envelope AM path; "
-                "am_coherent's feedback scans are single-device for now")
         ccfg = cfg.channelizer
         sc = ShardedChannelizer(ccfg, mesh, block_len, axis_name, c1)
         self.cfg = cfg
@@ -272,24 +293,49 @@ class ShardedChannelizedBank:
         self.C1, self.C2 = sc.C1, sc.C2
         self.layout_perm = sc.layout_perm
         b0, a = iirdes.deemphasis_coeffs(ccfg.chan_rate, cfg.deemph_tau)
-        self.params = (sc.Ht, sc.tw, jnp.float32(b0), jnp.float32(a))
+        coherent = cfg.demod == "am" and cfg.am_coherent
+        amb = front0 = dc0 = None
+        front_spec = dc_spec = front_out = dc_out = None
+        A = self.axis_name
+        if coherent:
+            from ..kernels import agc as kagc
+            from ..kernels import am_backend as kab
+            from ..kernels.pll import PllState
+            amb = kab.make_params(
+                kagc.make_params(alpha=cfg.agc_bandwidth, scale=cfg.agc_scale),
+                cfg.modulation, b0, a, carrier=True)
+            shp = (self.C1, self.C2)
+            front0 = kab.FrontState(
+                agc=jax.tree.map(lambda v: jnp.broadcast_to(v, shp),
+                                 kagc.agc_init()),
+                pll=PllState(jnp.zeros(shp, jnp.float32),
+                             jnp.zeros(shp, jnp.float32)))
+            dc0 = jnp.zeros(shp, jnp.float32)
+            front_spec = jax.tree.map(lambda _: P(A, None), front0)
+            dc_spec = P(A, None)
+            front_out = front_spec
+            dc_out = dc_spec
+        self.params = (sc.Ht, sc.tw, jnp.float32(b0), jnp.float32(a), amb)
         self.state = TPBankState(
             tail=sc.tail,
             fd_prev=jnp.full((self.C1, self.C2), 1.0 + 0.0j, jnp.complex64),
             deemph=jnp.zeros((self.C1, self.C2), jnp.float32),
+            front=front0, dc=dc0,
         )
 
-        A = self.axis_name
         body = partial(tp_bank_shard, cfg=cfg, C1=self.C1, C2=self.C2,
                        axis_name=A)
+        amb_spec = None if amb is None else jax.tree.map(lambda _: P(), amb)
         mapped = jax.shard_map(
             body, mesh=mesh,
-            in_specs=((P(), P(None, A), P(), P()),
+            in_specs=((P(), P(None, A), P(), P(), amb_spec),
                       TPBankState(tail=P(), fd_prev=P(A, None),
-                                  deemph=P(A, None)),
+                                  deemph=P(A, None),
+                                  front=front_spec, dc=dc_spec),
                       P(A)),
             out_specs=(TPBankState(tail=P(A, None), fd_prev=P(A, None),
-                                   deemph=P(A, None)),
+                                   deemph=P(A, None),
+                                   front=front_out, dc=dc_out),
                        P(A, None, None)),
         )
 
