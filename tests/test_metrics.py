@@ -85,3 +85,61 @@ def test_channelized_bank_coherent_metrics():
     assert np.asarray(met.rssi).shape == (C,)
     assert np.asarray(met.pll_freq).shape == (C,)
     assert np.asarray(met.squelch_modes).shape == (C, n // C)
+
+
+def test_wbfm_stereo_metrics_pilot_lock():
+    """WBFM stereo (round-2 VERDICT weak #2): the chain returns pilot
+    telemetry -- pilot_level reflects the 19 kHz pilot amplitude and
+    pll_freq its offset from nominal -- and the output stays on device."""
+    import jax
+    from tpudsp.chains.wbfm import WBFMStereoReceiver
+
+    iq_rate = 2_400_000.0
+    n = 1_000_000
+    t = np.arange(n)
+    f_off = 3.0  # pilot 3 Hz off nominal
+    f_p = (19000.0 + f_off) / iq_rate
+    la = np.sin(2 * np.pi * 900.0 / iq_rate * t)
+    comp = (la / 2 + 0.1 * np.cos(2 * np.pi * f_p * t)) * 0.008
+    x = np.exp(1j * 2 * np.pi * np.cumsum(comp)).astype(np.complex64)
+    rx = WBFMStereoReceiver(block_len=n)
+    assert rx.metrics is None
+    y = rx(x)
+    # device-native output: no silent host materialization per block
+    assert isinstance(y, jax.Array)
+    assert y.shape[1] == 2
+    met = rx.metrics
+    lvl = float(met.pilot_level)
+    assert lvl > 0.0
+    # pilot offset estimate: 3 Hz at the 600 kHz composite rate
+    comp_rate = iq_rate / 4
+    w_expect = 2 * np.pi * f_off / comp_rate
+    assert abs(float(met.pll_freq) - w_expect) < 0.5 * w_expect + 1e-6, (
+        float(met.pll_freq), w_expect)
+    # no pilot -> pilot_level collapses far below the locked level
+    rx2 = WBFMStereoReceiver(block_len=n)
+    x2 = np.exp(1j * 2 * np.pi * np.cumsum(
+        (la / 2) * 0.008)).astype(np.complex64)
+    rx2(x2)
+    assert float(rx2.metrics.pilot_level) < 0.1 * lvl
+
+
+def test_ssb_receiver_metrics():
+    from tpudsp.chains import SSBConfig, SSBReceiver
+
+    n = 500_000
+    t = np.arange(n)
+    amp = 0.25
+    iq = (amp * np.exp(2j * np.pi * 800.0 / 2e6 * t)).astype(np.complex64)
+    rx = SSBReceiver(SSBConfig(band="usb"), block_len=n)
+    assert rx.metrics is None
+    rx(iq)
+    met = rx.metrics
+    assert isinstance(met, BlockMetrics)
+    assert np.isfinite(float(met.rssi))
+    # rssi tracks the post-front-end level (the 800 Hz tone passes the
+    # channel filter essentially unattenuated): -20 log10 g ~ 20 log10 amp
+    assert abs(float(met.rssi) - 20 * np.log10(amp)) < 3.0
+    modes = np.asarray(met.squelch_modes)
+    assert modes.shape == (rx.n_out,)
+    assert (modes == kagc.SQ_DISABLED).all()

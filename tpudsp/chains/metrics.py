@@ -19,6 +19,9 @@ Fields (None when a chain has no such loop):
 - resamp_credit: fractional-sample credit carried by the resampler
   (SURVEY.md Q8; 0 by construction for planned-shape chains whose block
   length makes the output count integral).
+- pilot_level: smoothed 19 kHz stereo-pilot amplitude (composite units)
+  at block end -- the stereo-lock indicator for WBFM stereo chains
+  (reference FMStereo has no lock telemetry at all; demod.hpp:4-85).
 """
 
 from __future__ import annotations
@@ -33,6 +36,7 @@ class BlockMetrics(NamedTuple):
     squelch_modes: Optional[jnp.ndarray]
     pll_freq: Optional[jnp.ndarray]
     resamp_credit: Optional[jnp.ndarray]
+    pilot_level: Optional[jnp.ndarray] = None
 
 
 def rssi_db(gain):

@@ -24,6 +24,8 @@ from ..kernels import agc as kagc
 from ..kernels import decimate as kdec
 from ..kernels import hilbert as khilb
 from ..kernels import warmup as kwarm
+from . import metrics as kmet
+from .metrics import BlockMetrics
 
 
 @dataclass(frozen=True)
@@ -101,7 +103,10 @@ def ssb_step(params: SSBParams, state: SSBState, iq, *, cfg: SSBConfig,
 
     c2r, (lower, upper) = khilb.c2r_apply(params.h_hilb, state.c2r, z)
     audio = upper if cfg.band == "usb" else lower
-    return SSBState(rs_tail, agc_state, c2r), (audio, modes)
+    metrics = BlockMetrics(rssi=kmet.rssi_db(agc_state.g),
+                           squelch_modes=modes,
+                           pll_freq=None, resamp_credit=None)
+    return SSBState(rs_tail, agc_state, c2r), (audio, metrics)
 
 
 class SSBReceiver:
@@ -111,13 +116,17 @@ class SSBReceiver:
                  exact: bool = False):
         self.cfg = cfg
         self.block_len = int(block_len)
+        self.metrics = None
         self.params, self.state, self.n_out = build(cfg, self.block_len)
         self._step = jax.jit(partial(ssb_step, cfg=cfg, n_out=self.n_out,
                                      exact=exact))
 
     def __call__(self, iq):
+        """Returns audio on device; sets ``self.metrics`` (rssi, squelch
+        modes) for the block."""
         iq = jnp.asarray(iq, jnp.complex64)
         if iq.shape[0] != self.block_len:
             raise ValueError(f"expected block of {self.block_len} samples")
-        self.state, (audio, modes) = self._step(self.params, self.state, iq)
+        self.state, (audio, metrics) = self._step(self.params, self.state, iq)
+        self.metrics = metrics
         return audio

@@ -26,6 +26,7 @@ from ..kernels import iir as kiir
 from ..kernels import pll as kpll
 from ..kernels import nco as knco
 from .bank import BankConfig, ReceiverBank
+from .metrics import BlockMetrics
 
 TWO_PI = 2.0 * np.pi
 
@@ -63,6 +64,8 @@ class StereoConfig:
 
 
 def _stereo_step(params, state: StereoState, iq, *, cfg: StereoConfig):
+    """Returns (state, (pcm (M, 2) float32 on device, BlockMetrics)):
+    pilot_level/pll_freq carry the 19 kHz stereo-lock telemetry."""
     D1 = cfg.decim1
     h1, h2, h_aud, dtheta_u, b0, a = params
     X = jnp.concatenate([state.in_tail, iq])
@@ -71,7 +74,8 @@ def _stereo_step(params, state: StereoState, iq, *, cfg: StereoConfig):
     y = lax.conv_general_dilated(feats[None], h1, (D1,), "VALID")[0]
     comp_iq = (y[0] + 1j * y[1]).astype(jnp.complex64)
     fd_prev, s = kfd.freqdem_apply(jnp.float32(cfg.kd), state.fd_prev, comp_iq)
-    pilot, lr = kpll.stereo_pilot_apply(state.pilot, s, dtheta_u)
+    pilot, lr, (pilot_level, pilot_freq) = kpll.stereo_pilot_apply(
+        state.pilot, s, dtheta_u, with_metrics=True)
     aud_tail, (left, right) = kpll.stereo_matrix_lowpass(h_aud, state.aud_tail, s, lr)
     dl, left = kiir.first_order_apply(b0, a, state.dl, left)
     dr, right = kiir.first_order_apply(b0, a, state.dr, right)
@@ -93,7 +97,11 @@ def _stereo_step(params, state: StereoState, iq, *, cfg: StereoConfig):
     a_tail_r, pr_ = dec_audio(state.a_tail_r, right)
     new_state = StereoState(X[-(state.in_tail.shape[0]):], fd_prev, pilot,
                             aud_tail, dl, dr, a_tail_l, a_tail_r)
-    return new_state, (pl_, pr_)
+    pcm = jnp.stack([pl_, pr_], axis=1)  # (M, 2), stacked in-jit
+    metrics = BlockMetrics(rssi=None, squelch_modes=None,
+                           pll_freq=pilot_freq, resamp_credit=None,
+                           pilot_level=pilot_level)
+    return new_state, (pcm, metrics)
 
 
 class WBFMStereoReceiver:
@@ -124,6 +132,7 @@ class WBFMStereoReceiver:
                         jnp.asarray(h_aud, jnp.float32),
                         jnp.uint32(dtheta), jnp.float32(b0), jnp.float32(aa))
         self.block_len = block_len
+        self.metrics = None
         self.state = StereoState(
             in_tail=jnp.zeros((cfg.taps1 - 1,), jnp.complex64),
             fd_prev=jnp.complex64(1.0),
@@ -136,8 +145,12 @@ class WBFMStereoReceiver:
         self._step = jax.jit(partial(_stereo_step, cfg=cfg))
 
     def __call__(self, iq):
+        """Returns (M, 2) float32 PCM ON DEVICE (no host sync: StreamRuntime
+        overlap depends on the step only enqueueing device work); sets
+        ``self.metrics`` (pilot_level, pll_freq) for the block."""
         iq = jnp.asarray(iq, jnp.complex64)
         if iq.shape[0] != self.block_len:
             raise ValueError(f"expected block of {self.block_len} samples")
-        self.state, (L, R) = self._step(self._params, self.state, iq)
-        return np.stack([np.asarray(L), np.asarray(R)], axis=1)
+        self.state, (pcm, metrics) = self._step(self._params, self.state, iq)
+        self.metrics = metrics
+        return pcm

@@ -88,7 +88,8 @@ def _onepole_scan(rho_j, carry, v):
     return ap * carry + up
 
 
-def stereo_pilot_apply(state: StereoPilotState, s, dtheta_u32, rho: float = 0.999):
+def stereo_pilot_apply(state: StereoPilotState, s, dtheta_u32,
+                       rho: float = 0.999, with_metrics: bool = False):
     """FMStereo pilot recovery + L-R subband demodulation, fully
     block-parallel (no sequential PLL).
 
@@ -121,7 +122,12 @@ def stereo_pilot_apply(state: StereoPilotState, s, dtheta_u32, rho: float = 0.99
     The smoother bandwidth (1-rho) need only exceed the pilot's frequency
     tolerance (broadcast pilots are within a few Hz), and its settling sets
     the stereo acquisition time (~2/(1-rho) samples). Follow with
-    ``stereo_matrix_lowpass`` to keep only the audio band."""
+    ``stereo_matrix_lowpass`` to keep only the audio band.
+
+    with_metrics=True additionally returns (pilot_level, pilot_freq):
+    the smoothed pilot amplitude at block end (lock indicator) and the
+    amplitude-weighted mean rotation rate of the pilot phasor over the
+    block tail (rad/sample offset from the nominal 19 kHz)."""
     n = s.shape[0]
     k = jnp.arange(n, dtype=jnp.uint32)
     th_u = state.phase_u + k * dtheta_u32
@@ -138,7 +144,15 @@ def stereo_pilot_apply(state: StereoPilotState, s, dtheta_u32, rho: float = 0.99
     lr = 2.0 * s * ref38.real
     new_state = StereoPilotState(p=p1[-1], p2=p[-1],
                                  phase_u=state.phase_u + jnp.uint32(n) * dtheta_u32)
-    return new_state, lr.astype(jnp.float32)
+    if not with_metrics:
+        return new_state, lr.astype(jnp.float32)
+    tail = p[-max(n // 4, 2):]
+    rot = tail[1:] * jnp.conj(tail[:-1])
+    pilot_freq = jnp.angle(jnp.sum(rot)).astype(jnp.float32)
+    # |p| tracks pilot_amplitude/2 (one-sided mix of a real tone); report
+    # the full pilot amplitude in composite units
+    pilot_level = (2.0 * mag[-1]).astype(jnp.float32)
+    return new_state, lr.astype(jnp.float32), (pilot_level, pilot_freq)
 
 
 def stereo_matrix_lowpass(h_aud, tail, s, lr):
