@@ -4,7 +4,7 @@ multi-channel banks (config 3+)."""
 
 from .am import AMConfig, AMReceiver, am_step_composed, am_step_fused, build as am_build
 from .bank import BankConfig, ReceiverBank, bank_step, build as bank_build
-from .metrics import BlockMetrics
+from .metrics import BlockMetrics, squelch_events
 from .channelizer import (
     ChannelizedBank, ChannelizedBankConfig, Channelizer, ChannelizerConfig,
 )
@@ -16,5 +16,5 @@ __all__ = [
     "BankConfig", "BlockMetrics", "ReceiverBank", "bank_step", "bank_build",
     "ChannelizedBank", "ChannelizedBankConfig", "Channelizer",
     "ChannelizerConfig", "SSBConfig", "SSBReceiver", "WBFMStereoReceiver",
-    "mono_receiver",
+    "mono_receiver", "squelch_events",
 ]

@@ -57,6 +57,14 @@ class AMConfig:
     carrier: bool = True
     agc_bandwidth: float = 0.01
     agc_scale: float = 0.01
+    # Squelch gating in the chain's AGC (reference agc.hpp:109-128,
+    # agc_docs.cpp:53-72): below-threshold audio is zeroed by the FSM and
+    # the per-sample mode tensor lands in BlockMetrics.squelch_modes;
+    # host-side callbacks (the reference's onRise) fire from that tensor
+    # after the block via StreamRuntime(on_event=...) / squelch_events().
+    squelch: bool = False
+    squelch_threshold: float = 0.0  # dB (rssi = -20 log10 gain)
+    squelch_timeout: int = 100      # SIGNALLO -> TIMEOUT countdown samples
     resamp_m: int = 13
     resamp_npfb: int = 64
 
@@ -133,7 +141,10 @@ def build(cfg: AMConfig, block_len: int):
         q=jnp.asarray(q),
         frac=jnp.asarray(frac),
         h_hilb=jnp.asarray(firdes.hilbert_fir(kam.HILB_M, 60.0), jnp.float32),
-        agc=kagc.make_params(alpha=cfg.agc_bandwidth, scale=cfg.agc_scale),
+        agc=kagc.make_params(alpha=cfg.agc_bandwidth, scale=cfg.agc_scale,
+                             squelch=cfg.squelch,
+                             threshold=cfg.squelch_threshold,
+                             timeout=cfg.squelch_timeout),
         deemph_b0=jnp.float32(iirdes.deemphasis_coeffs(cfg.pcm_rate)[0]),
         deemph_a=jnp.float32(iirdes.deemphasis_coeffs(cfg.pcm_rate)[1]),
         mod=jnp.float32(cfg.modulation),
@@ -143,7 +154,7 @@ def build(cfg: AMConfig, block_len: int):
     state = AMState(
         fir_tail=kfir.fir_init(len(h_bp), jnp.complex64),
         rs_tail=jnp.zeros((max(ntaps_rs, kf),), jnp.complex64),
-        agc=kagc.agc_init(),
+        agc=kagc.agc_init(squelch=cfg.squelch, timeout=cfg.squelch_timeout),
         am=kam.ampdemod_init(),
         deemph=jnp.float32(0.0),
     )
@@ -166,7 +177,8 @@ def _back_end(params: AMParams, state: AMState, baseband, cfg: AMConfig, exact: 
     # (kernels/warmup.py): AGC gain loop + carrier PLL when present
     warmup = kwarm.warmup_for(
         agc_alpha=cfg.agc_bandwidth,
-        pll_bw=kam.PLL_BW if cfg.carrier else None)
+        pll_bw=kam.PLL_BW if cfg.carrier else None,
+        squelch_timeout=cfg.squelch_timeout if cfg.squelch else 0)
     if backend == "pallas" and warmup <= kwarm.PALLAS_WARMUP_MAX:
         from ..kernels import am_backend as kab
         from ..pallas import enabled

@@ -101,6 +101,13 @@ class BankConfig:
     agc_bandwidth: float = 0.01   # AGC loop bw at the channel rate
     agc_scale: float = 1.0        # post-AGC output scale
     modulation: float = 1.0       # AM modulation index (audio = vr/mod)
+    # Squelch gating in the coherent-AM channels' AGC (reference
+    # agc.hpp:109-128): gated channels emit zeroed audio; the per-channel
+    # per-sample FSM tensor lands in BlockMetrics.squelch_modes for
+    # host-side event delivery (squelch_events / StreamRuntime on_event).
+    squelch: bool = False
+    squelch_threshold: float = 0.0  # dB at the channel rate
+    squelch_timeout: int = 100
 
     @property
     def nchan(self):
@@ -195,11 +202,16 @@ def build(cfg: BankConfig):
     if cfg.am_coherent and am_idx:
         Ca = len(am_idx)
         amb = kab.make_params(
-            kagc.make_params(alpha=cfg.agc_bandwidth, scale=cfg.agc_scale),
+            kagc.make_params(alpha=cfg.agc_bandwidth, scale=cfg.agc_scale,
+                             squelch=cfg.squelch,
+                             threshold=cfg.squelch_threshold,
+                             timeout=cfg.squelch_timeout),
             cfg.modulation, b0, a, carrier=True)
         front = kab.FrontState(
-            agc=jax.tree.map(lambda v: jnp.broadcast_to(v, (Ca,)),
-                             kagc.agc_init()),
+            agc=jax.tree.map(
+                lambda v: jnp.broadcast_to(v, (Ca,)),
+                kagc.agc_init(squelch=cfg.squelch,
+                              timeout=cfg.squelch_timeout)),
             pll=PllState(jnp.zeros((Ca,), jnp.float32),
                          jnp.zeros((Ca,), jnp.float32)))
         dc0 = jnp.zeros((Ca,), jnp.float32)
@@ -307,7 +319,9 @@ def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig,
         # warmup from the live loop bandwidths (kernels/warmup.py), never
         # a frozen constant; Pallas stages warmups in VMEM so very narrow
         # loops route to the XLA chunked path
-        w = kwarm.warmup_for(agc_alpha=cfg.agc_bandwidth, pll_bw=kam.PLL_BW)
+        w = kwarm.warmup_for(
+            agc_alpha=cfg.agc_bandwidth, pll_bw=kam.PLL_BW,
+            squelch_timeout=cfg.squelch_timeout if cfg.squelch else 0)
         if backend == "pallas" and w <= kwarm.PALLAS_WARMUP_MAX:
             from ..pallas import enabled
             from ..pallas.am_backend_scan import front_chunked_pallas

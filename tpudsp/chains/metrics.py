@@ -42,3 +42,33 @@ class BlockMetrics(NamedTuple):
 def rssi_db(gain):
     """Liquid convention (agc.hpp:53-55): rssi = -20 log10(gain)."""
     return -20.0 * jnp.log10(jnp.maximum(gain, 1e-30))
+
+
+def squelch_events(modes) -> list:
+    """Host-side event extraction from a squelch-mode tensor — the
+    "events become data" half of the reference's mid-loop callback design
+    (SURVEY.md section 3.5; reference agc.hpp:119-122 fires a Python
+    ``onRise`` callback from inside the per-sample C loop).
+
+    modes: (N,) or (C, N) int squelch FSM states (agc_docs.cpp numbering,
+    kernels/agc.py constants). RISE and FALL are one-sample transition
+    states, so each occurrence is one event. Returns a list of dicts
+    ``{"kind": "rise"|"fall", "channel": int|None, "sample": int}``
+    ordered by sample position (channel=None for single-channel tensors).
+    """
+    import numpy as np
+
+    from ..kernels.agc import SQ_FALL, SQ_RISE
+
+    m = np.asarray(modes)
+    single = m.ndim == 1
+    if single:
+        m = m[None, :]
+    events = []
+    for kind, code in (("rise", SQ_RISE), ("fall", SQ_FALL)):
+        ch, idx = np.nonzero(m == code)
+        events += [{"kind": kind,
+                    "channel": None if single else int(c),
+                    "sample": int(i)} for c, i in zip(ch, idx)]
+    events.sort(key=lambda e: (e["sample"], e["channel"] or 0))
+    return events

@@ -53,6 +53,18 @@ class StreamRuntime:
         pump thread per block (meta carries the block index and the
         receiver's per-block metrics when it exposes ``.metrics``). When
         None, audio is buffered in a bounded queue for ``pop_audio()``.
+    on_event: optional callback ``on_event(event)`` fired on the pump
+        thread after each block for every squelch transition found in the
+        block's ``metrics.squelch_modes`` tensor — the reference's
+        AGC ``onRise`` mid-loop callback (agc.hpp:119-122, intended to
+        reset downstream demods on squelch open, agc_docs.cpp:93-97)
+        delivered the events-become-data way (SURVEY section 3.5): the
+        kernel records the FSM state per sample, the host fires
+        callbacks between blocks. Each event is a dict with ``kind``
+        ('rise'/'fall'), ``channel`` (None for single-channel chains),
+        ``sample`` (offset within the block at the tensor's rate), and
+        ``block``. Registering on_event syncs the mode tensor to host
+        each block; leave it None on throughput-critical paths.
     capacity_blocks: ring capacity; overflow drops whole pushes (counted).
     max_audio_blocks: audio-queue bound; the pump blocks when full
         (backpressure into the ring).
@@ -62,6 +74,7 @@ class StreamRuntime:
                  block_len: Optional[int] = None,
                  sample_format: str = "int16",
                  on_audio: Optional[Callable[[Any, dict], None]] = None,
+                 on_event: Optional[Callable[[dict], None]] = None,
                  capacity_blocks: int = 64,
                  max_audio_blocks: int = 256):
         if block_len is None:
@@ -75,6 +88,7 @@ class StreamRuntime:
                                 capacity_blocks=capacity_blocks,
                                 sample_format=sample_format)
         self._on_audio = on_audio
+        self._on_event = on_event
         self._audio: "queue.Queue" = queue.Queue(maxsize=max_audio_blocks)
         self._data = threading.Event()    # bytes arrived / stop requested
         self._stopping = False
@@ -169,6 +183,16 @@ class StreamRuntime:
             self._stopping = True
             raise self._error
 
+    def _fire_events(self, meta: dict) -> None:
+        from ..chains.metrics import squelch_events
+        metrics = meta["metrics"]
+        modes = getattr(metrics, "squelch_modes", None)
+        if modes is None:
+            return
+        for ev in squelch_events(modes):  # host sync: opt-in via on_event
+            ev["block"] = meta["block"]
+            self._on_event(ev)
+
     def _run(self):
         try:
             while True:
@@ -185,6 +209,8 @@ class StreamRuntime:
                 meta = {"block": self.blocks_processed,
                         "metrics": getattr(self.receiver, "metrics", None)}
                 self.blocks_processed += 1
+                if self._on_event is not None:
+                    self._fire_events(meta)
                 if self._on_audio is not None:
                     self._on_audio(audio, meta)
                 else:

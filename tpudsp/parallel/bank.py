@@ -189,7 +189,10 @@ def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConf
             from ..kernels.warmup import warmup_for
             front, dc, base = coherent_am_time_sharded(
                 params.amb, state.front, state.dc, y1,
-                warmup=warmup_for(agc_alpha=cfg.agc_bandwidth, pll_bw=PLL_BW))
+                warmup=warmup_for(
+                    agc_alpha=cfg.agc_bandwidth, pll_bw=PLL_BW,
+                    squelch_timeout=(cfg.squelch_timeout if cfg.squelch
+                                     else 0)))
         else:
             base = jnp.abs(y1).astype(jnp.float32)
     elif isinstance(cfg.demod, str) and ssb_any:
