@@ -87,3 +87,60 @@ def test_async_halo_single_shard_uses_tail():
         out_specs=P(None, TIME_AXIS), check_vma=False))
     y = np.asarray(f(jnp.asarray(x), jnp.asarray(tail)))
     assert snr_db(y_ref.view(np.float32), y.view(np.float32)) > 120.0
+
+
+def test_async_halo_full_sharded_bank_step():
+    """END-TO-END pin (round-2 VERDICT next #7): the complete
+    ShardedBank(halo='async') step -- ring RDMA front end, NCO rotation,
+    demod, audio decimation, cross-shard de-emphasis prefix scan, carried
+    state across blocks -- must match the ppermute product path exactly on
+    a time-only mesh, streamed over multiple blocks.
+
+    check_vma=False on the async instance only: jax's interpret-mode
+    pallas discharge re-traces the kernel with written-ref reads carrying
+    different varying-axes sets than the first trace (see
+    ShardedBank.__init__ docstring); the ppermute reference runs fully
+    checked, and real-TPU Mosaic lowering has no discharge re-trace."""
+    from tpudsp.chains.bank import BankConfig
+    from tpudsp.parallel.bank import ShardedBank
+
+    cfg = BankConfig(
+        freqs=tuple(float(f) for f in
+                    np.linspace(-9e5, 9e5, 4, endpoint=False)),
+        iq_rate=2_400_000.0, demod="fm")
+    n = 50 * 8 * 250
+    rng = np.random.default_rng(5)
+    iq = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+          ).astype(np.complex64) * 0.1
+    tmesh = Mesh(np.asarray(jax.devices()), (TIME_AXIS,))
+    b_pp = ShardedBank(cfg, tmesh, block_len=n, halo="ppermute")
+    b_as = ShardedBank(cfg, tmesh, block_len=n, halo="async",
+                       check_vma=False)
+    for _ in range(3):
+        y_pp = np.asarray(b_pp(iq))
+        y_as = np.asarray(b_as(iq))
+        np.testing.assert_array_equal(y_pp, y_as)
+
+
+def test_async_halo_sharded_am_receiver():
+    """halo='async' wired into the flagship time-sharded AM receiver
+    (round-2 VERDICT next #7): the per-phase resampler offsets fold into
+    offset-padded taps so the kf-sample input halo rides the in-kernel
+    RDMA ring; output matches the ppermute variant to float precision
+    across streamed blocks."""
+    from tpudsp.chains.am import AMConfig
+    from tpudsp.parallel import ShardedAMReceiver
+
+    n = 2_000_000
+    t = np.arange(n)
+    msg = np.sin(2 * np.pi * 1000.0 / 2e6 * t)
+    iq = ((1 + 0.5 * msg) * 0.3
+          * np.exp(2j * np.pi * 200.0 / 2e6 * t)).astype(np.complex64)
+    tmesh = Mesh(np.asarray(jax.devices()), (TIME_AXIS,))
+    r_pp = ShardedAMReceiver(AMConfig(), tmesh, block_len=n)
+    r_as = ShardedAMReceiver(AMConfig(), tmesh, block_len=n, halo="async",
+                             check_vma=False)
+    for _ in range(2):
+        y_pp = np.asarray(r_pp(iq))
+        y_as = np.asarray(r_as(iq))
+        assert snr_db(y_pp, y_as) > 100.0

@@ -40,20 +40,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(xr_ref, xi_ref, tail_ref, send_ref, TT_ref, out_ref,
+def _kernel(xr_ref, xi_ref, send_ref, TT_ref, out_ref,
             halo_ref, xv_ref, yv_ref,
             rdma_send_sem, rdma_recv_sem, load_sem, store_sem,
             *, axis_name, n_shards, D1, Kc, halo_len, S, nj, C2, interpret):
     win = Kc * D1
     span = (S - 1) * D1 + win
     my = lax.axis_index(axis_name)
-    right = lax.rem(my + 1, n_shards)
+    # axis_index carries the axis in its varying-axes set; literals mixed
+    # into the ring arithmetic must be explicitly pvary'd for the
+    # interpret-mode replication checker (a physical no-op on TPU)
+    vary = (lambda v: lax.pvary(v, (axis_name,))) if interpret else (lambda v: v)
+    right = lax.rem(my + vary(jnp.int32(1)), vary(jnp.int32(n_shards)))
 
     # 1. halo RDMA to the right neighbor, in flight through step 2.
     # device_id as a dict: unnamed mesh axes default to this device's own
-    # coordinate (ring stays within e.g. a fixed 'channel' row). NOTE:
-    # interpret mode only discharges single-named-axis meshes and wants a
-    # bare scalar; Mosaic lowers the dict form on real TPU meshes.
+    # coordinate (ring stays within e.g. a fixed 'channel' row). NOTE: the
+    # interpret-mode discharge supports single-named-axis meshes only and
+    # wants a bare scalar (jax dma_start_partial_discharge_rule raises
+    # NotImplementedError beyond that); Mosaic lowers the dict form on
+    # real TPU meshes of any shape. The end-to-end interpret pin therefore
+    # runs ShardedBank on a time-only mesh (tests/test_halo_async.py).
     rdma = pltpu.make_async_remote_copy(
         src_ref=send_ref, dst_ref=halo_ref,
         send_sem=rdma_send_sem, recv_sem=rdma_recv_sem,
@@ -101,7 +108,11 @@ def _kernel(xr_ref, xi_ref, tail_ref, send_ref, TT_ref, out_ref,
 
         lax.fori_loop(0, n_tiles, body, 0)
 
-    # 3. boundary tile (outputs [0, S)): wait for the halo, prepend it
+    # 3. boundary tile (outputs [0, S)): wait for the halo, prepend it.
+    # The globally-first shard's correct fill is the block-carried tail --
+    # delivered through the ring itself: the LAST shard sends the carried
+    # tail instead of its input tail (selected host-side in
+    # bank_front_async), so no in-kernel select is needed.
     rdma.wait()
     cp = pltpu.make_async_copy(
         xr_ref.at[pl.ds(0, span - halo_len)],
@@ -113,12 +124,8 @@ def _kernel(xr_ref, xi_ref, tail_ref, send_ref, TT_ref, out_ref,
         xv_ref.at[1, pl.ds(halo_len, span - halo_len)], load_sem)
     cp.start()
     cp.wait()
-    # globally-first shard uses the block-carried tail, not the ring halo
-    use_tail = (my == 0)
-    xv_ref[0, pl.ds(0, halo_len)] = jnp.where(
-        use_tail, tail_ref[0], halo_ref[0])
-    xv_ref[1, pl.ds(0, halo_len)] = jnp.where(
-        use_tail, tail_ref[1], halo_ref[1])
+    xv_ref[0, pl.ds(0, halo_len)] = halo_ref[0]
+    xv_ref[1, pl.ds(0, halo_len)] = halo_ref[1]
     store(0, tile_outputs((xv_ref[0], xv_ref[1])))
 
 
@@ -150,9 +157,16 @@ def bank_front_async(iq_loc, tail, Tre, Tim, D1: int, nj: int,
     if pad:
         xr = jnp.pad(xr, (0, pad))
         xi = jnp.pad(xi, (0, pad))
-    send = jnp.stack([xr[iq_loc.shape[0] - halo_len: iq_loc.shape[0]],
-                      xi[iq_loc.shape[0] - halo_len: iq_loc.shape[0]]])
+    send_in = jnp.stack([xr[iq_loc.shape[0] - halo_len: iq_loc.shape[0]],
+                         xi[iq_loc.shape[0] - halo_len: iq_loc.shape[0]]])
     tail2 = jnp.stack([tail.real, tail.imag]).astype(jnp.float32)
+    # ring payload: the LAST shard feeds the block-carried tail to shard 0
+    # (its own input tail is next block's carry, kept by the caller); all
+    # other shards send their input tail to their right neighbor. Selected
+    # here, outside the kernel, where shard_map's replication tracking
+    # handles the axis_index-varying predicate natively.
+    is_last = lax.axis_index(axis_name) == (n_shards - 1)
+    send = jnp.where(is_last, tail2, send_in)
     Tr = Tre.reshape(C, win).T
     Ti = Tim.reshape(C, win).T
     TT = jnp.concatenate(
@@ -162,12 +176,25 @@ def bank_front_async(iq_loc, tail, Tre, Tim, D1: int, nj: int,
     kern = partial(_kernel, axis_name=axis_name, n_shards=n_shards,
                    D1=D1, Kc=Kc, halo_len=halo_len, S=S, nj=nj, C2=2 * C,
                    interpret=interpret)
+    if interpret:
+        # the interpret-mode discharge re-traces the kernel with ref
+        # values carrying their varying-axes sets; replicated operands
+        # (the taps) must be explicitly marked varying so every in-kernel
+        # primitive sees matching vma (physical no-op)
+        need = frozenset((axis_name,)) - jax.typeof(TT).vma
+        if need:
+            TT = lax.pvary(TT, tuple(need))
+    # under shard_map's replication checking the output's varying-mesh-axes
+    # set must be declared: it varies over every axis any input varies over
+    # (the time axis via iq, plus the channel axis when taps are sharded)
+    vma = frozenset()
+    for v in (xr, xi, tail2, send, TT):
+        vma = vma | jax.typeof(v).vma
     Y = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((nj, 2 * C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nj, 2 * C), jnp.float32, vma=vma),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),    # xr
                   pl.BlockSpec(memory_space=pl.ANY),    # xi
-                  pl.BlockSpec(memory_space=pltpu.VMEM),  # tail
                   pl.BlockSpec(memory_space=pltpu.VMEM),  # send
                   pl.BlockSpec(memory_space=pltpu.VMEM)],  # TT
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -181,5 +208,5 @@ def bank_front_async(iq_loc, tail, Tre, Tim, D1: int, nj: int,
         compiler_params=pltpu.CompilerParams(has_side_effects=True,
                                              collective_id=7),
         interpret=interpret,
-    )(xr, xi, tail2, send, TT)
+    )(xr, xi, send, TT)
     return (Y[:, :C].T + 1j * Y[:, C:].T).astype(jnp.complex64)

@@ -57,12 +57,31 @@ class SAMState(NamedTuple):
 
 
 def _sharded_am_step(taps, amb, state: SAMState, iq_loc, *, offsets, Q: int,
-                     nj_loc: int, warmup: int, b0: float, a: float):
-    """shard_map body over the time axis. iq_loc: (N_loc,) local slice."""
+                     nj_loc: int, warmup: int, b0: float, a: float,
+                     halo: str = "ppermute"):
+    """shard_map body over the time axis. iq_loc: (N_loc,) local slice.
+
+    halo='async' runs the fused front end through the compute-overlapped
+    RDMA kernel (pallas/halo_async.py): the per-phase window offsets are
+    pre-folded into offset-padded taps (see ShardedAMReceiver), so the P
+    rational-resampler phases become P 'channels' of the bank front with
+    a shared stride-Q window grid and the kf-sample input halo rides the
+    in-kernel ring instead of a ppermute."""
     kf = state.rs_tail.shape[0]
-    tail_loc = left_halo(iq_loc, kf, TIME_AXIS, state.rs_tail)
-    new_tail, y48 = kdec.fused_frontend_apply(
-        taps, tail_loc, iq_loc, offsets, Q, nj_loc)
+    if halo == "async":
+        from ..pallas import enabled
+        from ..pallas.halo_async import bank_front_async
+        tre, tim = taps  # (P, Kc2, Q) offset-padded, tim = zeros
+        yp = bank_front_async(
+            iq_loc, state.rs_tail, tre, tim, Q, nj_loc, TIME_AXIS,
+            lax.axis_size(TIME_AXIS), interpret=not enabled())
+        y48 = jnp.stack([yp[r] for r in range(yp.shape[0])],
+                        axis=1).reshape(-1)
+        new_tail = jnp.concatenate([state.rs_tail, iq_loc])[-kf:]
+    else:
+        tail_loc = left_halo(iq_loc, kf, TIME_AXIS, state.rs_tail)
+        new_tail, y48 = kdec.fused_frontend_apply(
+            taps, tail_loc, iq_loc, offsets, Q, nj_loc)
 
     # feedback back end across time shards (C_loc = 1 batch)
     front0 = jax.tree.map(lambda v: v[None], state.front)
@@ -88,11 +107,15 @@ class ShardedAMReceiver:
     for 2 Msps -> 48 kHz) so each shard owns an integral output range."""
 
     def __init__(self, cfg: AMConfig = AMConfig(), mesh: Mesh = None,
-                 block_len: int = 1_000_000):
+                 block_len: int = 1_000_000, halo: str = "ppermute",
+                 check_vma: bool = True):
         from ..chains.am import _rational
         if mesh is None:
             raise ValueError("ShardedAMReceiver needs a mesh with a "
                              f"'{TIME_AXIS}' axis")
+        if halo not in ("ppermute", "async"):
+            raise ValueError(f"unknown halo {halo!r} "
+                             "(use 'ppermute' or 'async')")
         pq = _rational(cfg.rate)
         if pq is None:
             raise ValueError("time sharding needs a rational rate "
@@ -124,7 +147,20 @@ class ShardedAMReceiver:
                 f"local audio slice ({nj_loc * P_} samples) is shorter than "
                 f"the loop warmup window ({warmup}); use block_len >= "
                 f"{int(np.ceil(warmup / cfg.rate)) * T} or fewer time shards")
-        self._taps = params.taps_fused
+        if halo == "async":
+            # fold the per-phase window offsets off_r = (r*Q)//P into
+            # left-zero-padded taps: phase r's window then starts at j*Q
+            # for every phase, which is exactly the bank front kernel's
+            # shared stride-Q grid (taps'[i] = taps[i - off_r])
+            flat = np.asarray(params.taps_fused).reshape(P_, -1)
+            kc2 = -(-(max(offsets) + flat.shape[1]) // Q)
+            tre = np.zeros((P_, kc2 * Q), np.float32)
+            for r, off in enumerate(offsets):
+                tre[r, off:off + flat.shape[1]] = flat[r]
+            tre = tre.reshape(P_, kc2, Q)
+            self._taps = (jnp.asarray(tre), jnp.zeros_like(jnp.asarray(tre)))
+        else:
+            self._taps = params.taps_fused
         self._amb = amb
         self.state = SAMState(
             rs_tail=jnp.zeros((kf,), jnp.complex64),
@@ -135,7 +171,7 @@ class ShardedAMReceiver:
             deemph=jnp.float32(0.0),
         )
         body = partial(_sharded_am_step, offsets=offsets, Q=Q, nj_loc=nj_loc,
-                       warmup=warmup,
+                       warmup=warmup, halo=halo,
                        b0=float(params.deemph_b0), a=float(params.deemph_a))
         state_in = SAMState(
             rs_tail=P(), front=jax.tree.map(lambda _: P(), self.state.front),
@@ -150,6 +186,7 @@ class ShardedAMReceiver:
                       jax.tree.map(lambda _: P(), amb),
                       state_in, P(TIME_AXIS)),
             out_specs=(state_out, P(None, TIME_AXIS)),
+            check_vma=check_vma,
         )
 
         def step(taps, amb, state, iq):

@@ -258,7 +258,17 @@ class ShardedBank:
     single-chip chains/bank.py bank_step exactly (tested)."""
 
     def __init__(self, cfg: BankConfig, mesh: Mesh, block_len: int,
-                 halo: str = "ppermute"):
+                 halo: str = "ppermute", check_vma: bool = True):
+        """check_vma: leave shard_map's replication checking ON (default).
+        The one legitimate reason to disable it: pinning halo='async'
+        END-TO-END in interpret mode on CPU, where jax's pallas discharge
+        re-traces the kernel with written-ref reads carrying a different
+        varying-axes set than the first trace saw (the RDMA-received halo
+        is replicated at trace time but varying at discharge), so no
+        static pvary placement satisfies both passes — a jax
+        interpret-mode limitation, not a property of this kernel. On real
+        TPU meshes (Mosaic, no discharge re-trace) the async path traces
+        under full checking."""
         if halo not in ("ppermute", "async"):
             raise ValueError(f"unknown halo {halo!r} "
                              "(use 'ppermute' or 'async')")
@@ -269,7 +279,11 @@ class ShardedBank:
                 "use ReceiverBank for mixed coherent banks")
         D = cfg.decim1 * cfg.decim2
         n_time = mesh.shape[TIME_AXIS]
-        n_chan = mesh.shape[CHANNEL_AXIS]
+        # a time-only mesh (no channel axis) keeps channels local to every
+        # shard -- needed e.g. for the interpret-mode async-halo pin, whose
+        # remote-DMA discharge supports single-named-axis meshes only
+        CA = CHANNEL_AXIS if CHANNEL_AXIS in mesh.axis_names else None
+        n_chan = mesh.shape[CHANNEL_AXIS] if CA else 1
         if cfg.nchan % n_chan:
             raise ValueError("channel count must divide over the channel axis")
         if block_len % (D * n_time):
@@ -283,42 +297,43 @@ class ShardedBank:
         front_spec = dc_spec = None
         front_out = dc_out = None
         if coherent:
-            front_spec = jax.tree.map(lambda _: P(CHANNEL_AXIS),
+            front_spec = jax.tree.map(lambda _: P(CA),
                                       self.state.front)
-            dc_spec = P(CHANNEL_AXIS)
-            front_out = jax.tree.map(lambda _: P(CHANNEL_AXIS, TIME_AXIS),
+            dc_spec = P(CA)
+            front_out = jax.tree.map(lambda _: P(CA, TIME_AXIS),
                                      self.state.front)
-            dc_out = P(CHANNEL_AXIS, TIME_AXIS)
+            dc_out = P(CA, TIME_AXIS)
         has_ssb = self.params.lsb_sign is not None
         param_specs = BankParams(
-            taps_re=P(CHANNEL_AXIS), taps_im=P(CHANNEL_AXIS),
-            dtheta=P(CHANNEL_AXIS), h2=P(),  # audio taps shared
-            deemph_b0=P(), deemph_a=P(), fm_mask=P(CHANNEL_AXIS),
+            taps_re=P(CA), taps_im=P(CA),
+            dtheta=P(CA), h2=P(),  # audio taps shared
+            deemph_b0=P(), deemph_a=P(), fm_mask=P(CA),
             amb=None if self.params.amb is None
             else jax.tree.map(lambda _: P(), self.params.amb),
-            ssb_mask=P(CHANNEL_AXIS),
+            ssb_mask=P(CA),
             h2s_re=P() if has_ssb else None,
             h2s_im=P() if has_ssb else None,
-            lsb_sign=P(CHANNEL_AXIS) if has_ssb else None,
+            lsb_sign=P(CA) if has_ssb else None,
         )
         state_specs = BankState(
-            in_tail=P(), phase=P(CHANNEL_AXIS), n0=P(),
-            fd_prev=P(CHANNEL_AXIS), a_tail=P(CHANNEL_AXIS), deemph=P(CHANNEL_AXIS),
+            in_tail=P(), phase=P(CA), n0=P(),
+            fd_prev=P(CA), a_tail=P(CA), deemph=P(CA),
             front=front_spec, dc=dc_spec,
-            y1_tail=P(CHANNEL_AXIS) if has_ssb else None,
+            y1_tail=P(CA) if has_ssb else None,
         )
         body = partial(sharded_bank_step, cfg=cfg, halo=halo)
         mapped = jax.shard_map(
             body, mesh=mesh,
             in_specs=(param_specs, state_specs, P(TIME_AXIS)),
             out_specs=(BankState(
-                in_tail=P(TIME_AXIS, None), phase=P(CHANNEL_AXIS), n0=P(),
-                fd_prev=P(CHANNEL_AXIS, TIME_AXIS),
-                a_tail=P(CHANNEL_AXIS, TIME_AXIS, None),
-                deemph=P(CHANNEL_AXIS, TIME_AXIS),
+                in_tail=P(TIME_AXIS, None), phase=P(CA), n0=P(),
+                fd_prev=P(CA, TIME_AXIS),
+                a_tail=P(CA, TIME_AXIS, None),
+                deemph=P(CA, TIME_AXIS),
                 front=front_out, dc=dc_out,
-                y1_tail=P(CHANNEL_AXIS, TIME_AXIS, None) if has_ssb else None,
-            ), P(CHANNEL_AXIS, TIME_AXIS)),
+                y1_tail=P(CA, TIME_AXIS, None) if has_ssb else None,
+            ), P(CA, TIME_AXIS)),
+            check_vma=check_vma,
         )
 
         def step(params, state, iq):
