@@ -136,3 +136,26 @@ def test_stream_runtime_error_stays_visible():
         rt.stop(drain=True)
     with pytest.raises(ValueError, match="boom"):
         rt.pop_audio(timeout=0.01)
+
+
+def test_stream_runtime_raw_i16_passthrough_matches_converted():
+    """sample_format='int16_raw' + AMReceiver(input_format='i16'): the
+    zero-host-conversion pipeline must produce the same audio as the
+    converting path (round-3 ingest perf feature)."""
+    raw = _am_bytes(3 * BLOCK)
+    want = []
+    rt_c = StreamRuntime(AMReceiver(AMConfig(), block_len=BLOCK))
+    rt_c.push(raw)
+    rt_c.stop(drain=True)
+    want = np.concatenate(list(iter(rt_c)))
+
+    from tpudsp.chains.am import AMReceiver as _AMR
+    rt_i = StreamRuntime(_AMR(AMConfig(), block_len=BLOCK,
+                              input_format="i16"),
+                         sample_format="int16_raw")
+    rt_i.push(raw)
+    rt_i.stop(drain=True)
+    got = np.concatenate(list(iter(rt_i)))
+    assert got.shape == want.shape
+    err = np.abs(got - want).max()
+    assert err < 1e-6 * max(1.0, np.abs(want).max()) + 1e-7, err

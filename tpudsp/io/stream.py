@@ -47,8 +47,11 @@ class StreamRuntime:
         WBFMStereoReceiver, ChannelizedBank, the sharded variants, or a
         compat-API composition wrapped in a function). ``block_len`` is
         taken from ``receiver.block_len`` unless given.
-    sample_format: 'int16' (1/32767 scaling, reference utility.hpp:61-69)
-        or 'uint8' (RTL-SDR style).
+    sample_format: 'int16' (1/32767 scaling, reference utility.hpp:61-69),
+        'uint8' (RTL-SDR style), or 'int16_raw' (no host conversion: the
+        receiver gets the (N, 2) int16 wire samples — pair with a chain
+        built with input_format='i16' to halve host->device and HBM
+        ingest traffic).
     on_audio: optional callback ``on_audio(audio, meta)`` invoked on the
         pump thread per block (meta carries the block index and the
         receiver's per-block metrics when it exposes ``.metrics``). When
