@@ -137,7 +137,10 @@ def build(cfg: AMConfig, block_len: int, input_format: str = "c64"):
     pq = _rational(rate)
     if pq is not None:
         P, Q = pq
-        taps_fused, _, _ = kdec.plan_fused_frontend(H, h_bp, P, Q)
+        taps_raw, _, offs = kdec.plan_fused_frontend(H, h_bp, P, Q)
+        # offsets folded into the taps: ONE matmul pass over the input
+        # serves all P phases (kernels/decimate.fold_offsets)
+        taps_fused = kdec.fold_offsets(taps_raw, offs, Q)
     if input_format == "i16":
         if pq is None:
             raise ValueError("input_format='i16' needs the fused plan "
@@ -260,16 +263,16 @@ def am_step_fused(params: AMParams, state: AMState, iq, *, cfg: AMConfig,
     P, Q = _rational(cfg.rate)
     n_out = params.q.shape[0]
     nj = n_out // P
-    offsets = [(r * Q) // P for r in range(P)]
     # the fused filter length kf equals the full rs_tail here (build sizes
-    # it as max(2m, kf) and kf >= 2m always for a TIR bandpass)
+    # it as max(2m, kf) and kf >= 2m always for a TIR bandpass); taps are
+    # offset-folded (build), so one matmul pass serves all P phases
     with jax.named_scope("am.front.fused"):
         if state.rs_tail.ndim == 2:  # i16 plan: raw-sample tail + input
-            rs_tail_full, y48 = kdec.fused_frontend_apply_i16(
-                params.taps_fused, state.rs_tail, iq, offsets, Q, nj)
+            rs_tail_full, y48 = kdec.fused_frontend_apply_shared_i16(
+                params.taps_fused, state.rs_tail, iq, Q, nj)
         else:
-            rs_tail_full, y48 = kdec.fused_frontend_apply(
-                params.taps_fused, state.rs_tail, iq, offsets, Q, nj)
+            rs_tail_full, y48 = kdec.fused_frontend_apply_shared(
+                params.taps_fused, state.rs_tail, iq, Q, nj)
     with jax.named_scope("am.back_end"):
         agc_state, am_state, d_state, pcm, modes = _back_end(
             params, state, y48, cfg, exact, backend)

@@ -71,7 +71,9 @@ def build(cfg: SSBConfig, block_len: int):
     h_ch = firdes.kaiser_lowpass(cfg.chan_taps,
                                  max(cfg.bandwidth / cfg.iq_rate, 1e-4), 80.0)
     H = firdes.resamp_bank(cfg.resamp_m, 0.45 * rate, 60.0, cfg.resamp_npfb)
-    taps_fused, kf, _ = kdec.plan_fused_frontend(H, h_ch, P, Q)
+    taps_raw, kf, offs = kdec.plan_fused_frontend(H, h_ch, P, Q)
+    # offset-folded: one matmul pass over the input for all P phases
+    taps_fused = kdec.fold_offsets(taps_raw, offs, Q)
     params = SSBParams(
         taps_fused=jnp.asarray(taps_fused),
         h_hilb=jnp.asarray(firdes.hilbert_fir(cfg.hilb_m, 60.0), jnp.float32),
@@ -90,9 +92,8 @@ def ssb_step(params: SSBParams, state: SSBState, iq, *, cfg: SSBConfig,
     f = Fraction(cfg.rate).limit_denominator(10000)
     P, Q = f.numerator, f.denominator
     nj = n_out // P
-    offsets = [(r * Q) // P for r in range(P)]
-    rs_tail, y48 = kdec.fused_frontend_apply(
-        params.taps_fused, state.rs_tail, iq, offsets, Q, nj)
+    rs_tail, y48 = kdec.fused_frontend_apply_shared(
+        params.taps_fused, state.rs_tail, iq, Q, nj)
 
     # warmup from the AGC loop bandwidth (kernels/warmup.py); the AGC is
     # the only feedback loop in this chain (the Hilbert split is FIR)

@@ -107,6 +107,68 @@ def fused_frontend_apply(taps, tail, iq, offsets, Q: int, nj: int):
     return new_tail, y
 
 
+def fold_offsets(taps, offsets, Q: int):
+    """Fold per-phase window offsets into left-zero-padded taps so every
+    phase shares the stride-Q window grid starting at j*Q: taps'[r][i] =
+    taps[r][i - off_r]. One einsum then serves all P phases with a SINGLE
+    pass over the input (the per-phase dynamic_slice formulation reads the
+    whole stream P times). taps: (P, Kc, Q); returns (P, Kc2, Q)."""
+    P, Kc, Q_ = taps.shape
+    flat = np.asarray(taps).reshape(P, Kc * Q_)
+    kc2 = -(-(max(offsets) + flat.shape[1]) // Q)
+    out = np.zeros((P, kc2 * Q), np.float32)
+    for r, off in enumerate(offsets):
+        out[r, off:off + flat.shape[1]] = flat[r]
+    return out.reshape(P, kc2, Q)
+
+
+def _shared_grid_matmul(Xm, T, nj: int):
+    """Xm: (M, Q) frames (any real/complex dtype castable for the dot);
+    T: (P, Kc2, Q) offset-folded taps. Returns (nj, P) outputs in frame
+    order (output k = j*P + r at row [j, r])."""
+    P, Kc2, _ = T.shape
+    Z = jnp.einsum("mq,pkq->pmk", Xm, T,
+                   preferred_element_type=jnp.float32)   # (P, M, Kc2)
+    acc = Z[:, 0:nj, 0]
+    for c in range(1, Kc2):
+        acc = acc + Z[:, c:c + nj, c]
+    return acc.T                                          # (nj, P)
+
+
+def fused_frontend_apply_shared(taps, tail, iq, Q: int, nj: int):
+    """fused_frontend_apply with offset-folded taps (fold_offsets): the
+    input stream is read ONCE for all P phases. taps: (P, Kc2, Q) from
+    fold_offsets; tail: (kf,) complex64; iq: (N,) complex64. Returns
+    (new_tail, y (nj*P,) complex64)."""
+    P, Kc2, _ = taps.shape
+    kf = tail.shape[0]
+    X = jnp.concatenate([tail, iq, jnp.zeros(((Kc2 + 1) * Q,), iq.dtype)])
+    M = nj + Kc2 - 1
+    Xm = X[: M * Q].reshape(M, Q)
+    yr = _shared_grid_matmul(Xm.real.astype(jnp.float32), taps, nj)
+    yi = _shared_grid_matmul(Xm.imag.astype(jnp.float32), taps, nj)
+    y = (yr + 1j * yi).reshape(-1).astype(jnp.complex64)
+    new_tail = jnp.concatenate([tail, iq])[-kf:]
+    return new_tail, y
+
+
+def fused_frontend_apply_shared_i16(taps, tail, iq2, Q: int, nj: int):
+    """Raw-int16 twin of fused_frontend_apply_shared: taps carry the
+    1/32767 scale (see fused_frontend_apply_i16); tail/iq2 are (.., 2)
+    int16 [re, im]. One pass over the 2 B/component input."""
+    P, Kc2, _ = taps.shape
+    kf = tail.shape[0]
+    X = jnp.concatenate(
+        [tail, iq2, jnp.zeros(((Kc2 + 1) * Q, 2), jnp.int16)])
+    M = nj + Kc2 - 1
+    F = X[: M * Q].reshape(M, Q, 2)
+    yr = _shared_grid_matmul(F[..., 0].astype(jnp.float32), taps, nj)
+    yi = _shared_grid_matmul(F[..., 1].astype(jnp.float32), taps, nj)
+    y = (yr + 1j * yi).reshape(-1).astype(jnp.complex64)
+    new_tail = jnp.concatenate([tail, iq2])[-kf:]
+    return new_tail, y
+
+
 def fused_frontend_apply_i16(taps, tail, iq2, offsets, Q: int, nj: int):
     """fused_frontend_apply for RAW int16 interleaved input — the radio's
     native format (reference utility.hpp:61-69 converts host-side; here

@@ -80,8 +80,8 @@ def _sharded_am_step(taps, amb, state: SAMState, iq_loc, *, offsets, Q: int,
         new_tail = jnp.concatenate([state.rs_tail, iq_loc])[-kf:]
     else:
         tail_loc = left_halo(iq_loc, kf, TIME_AXIS, state.rs_tail)
-        new_tail, y48 = kdec.fused_frontend_apply(
-            taps, tail_loc, iq_loc, offsets, Q, nj_loc)
+        new_tail, y48 = kdec.fused_frontend_apply_shared(
+            taps, tail_loc, iq_loc, Q, nj_loc)
 
     # feedback back end across time shards (C_loc = 1 batch)
     front0 = jax.tree.map(lambda v: v[None], state.front)
@@ -148,17 +148,11 @@ class ShardedAMReceiver:
                 f"the loop warmup window ({warmup}); use block_len >= "
                 f"{int(np.ceil(warmup / cfg.rate)) * T} or fewer time shards")
         if halo == "async":
-            # fold the per-phase window offsets off_r = (r*Q)//P into
-            # left-zero-padded taps: phase r's window then starts at j*Q
-            # for every phase, which is exactly the bank front kernel's
-            # shared stride-Q grid (taps'[i] = taps[i - off_r])
-            flat = np.asarray(params.taps_fused).reshape(P_, -1)
-            kc2 = -(-(max(offsets) + flat.shape[1]) // Q)
-            tre = np.zeros((P_, kc2 * Q), np.float32)
-            for r, off in enumerate(offsets):
-                tre[r, off:off + flat.shape[1]] = flat[r]
-            tre = tre.reshape(P_, kc2, Q)
-            self._taps = (jnp.asarray(tre), jnp.zeros_like(jnp.asarray(tre)))
+            # the taps come offset-folded from build() (fold_offsets), so
+            # the P resampler phases already share the bank front kernel's
+            # stride-Q window grid; imaginary taps are zero (real filter)
+            tre = jnp.asarray(params.taps_fused)
+            self._taps = (tre, jnp.zeros_like(tre))
         else:
             self._taps = params.taps_fused
         self._amb = amb

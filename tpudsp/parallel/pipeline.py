@@ -73,13 +73,13 @@ def pipeline_step(params: AMParams, state: AMPipeState, iq, valid, *,
     s_idx = lax.axis_index(STAGE_AXIS)
     P_, Q = _rational(cfg.rate)
     nj = n_out // P_
-    offsets = [(r * Q) // P_ for r in range(P_)]
 
     rs_tail = state.rs_tail[0]
 
     def front():
-        return kdec.fused_frontend_apply(
-            params.taps_fused, rs_tail, iq, offsets, Q, nj)
+        # taps come offset-folded from chains/am.build (fold_offsets)
+        return kdec.fused_frontend_apply_shared(
+            params.taps_fused, rs_tail, iq, Q, nj)
 
     new_tail, act = lax.cond(
         s_idx == 0, front,
