@@ -202,7 +202,7 @@ def _bench_secondary(log, rate_stream):
         "wbfm_stereo", lambda p, st, v: _stereo_step(p, st, v, cfg=rx2s.cfg),
         rx2s._params, rx2s.state, x2, n2), config=2))
 
-    # config 3: 16-channel bank
+    # config 3: 16-channel bank (c64 and raw-int16 wire-format ingest)
     cfg16 = BankConfig(freqs=tuple(float(f) for f in
                                    np.linspace(-1e6, 1e6, 16, endpoint=False)))
     p, s = bbuild(cfg16)
@@ -210,6 +210,16 @@ def _bench_secondary(log, rate_stream):
     x = noise_iq(n, seed=3)
     rows.append(dict(rate_stream("bank16", partial(bank_step, cfg=cfg16),
                                  p, s, x, n), config=3))
+    pi, si = bbuild(cfg16, input_format="i16")
+    xn = np.asarray(x)
+    xi = jax.device_put(jnp.stack(
+        [jnp.asarray(np.clip(np.round(xn.real * 32767), -32767, 32767),
+                     jnp.int16),
+         jnp.asarray(np.clip(np.round(xn.imag * 32767), -32767, 32767),
+                     jnp.int16)], axis=1))
+    rows.append(dict(rate_stream("bank16_i16", partial(bank_step, cfg=cfg16),
+                                 pi, si, xi, n, bytes_per_sample=4),
+                     config=3))
 
     # config 4: 1024-channel channelized bank
     from tpudsp.chains.channelizer import (

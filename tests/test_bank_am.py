@@ -126,3 +126,31 @@ def test_mixed_bank_with_coherent_am():
     # the coherent AM channel's audio is DC-free without mean subtraction
     am_tail = audio[1, audio.shape[1] // 2:]
     assert abs(am_tail.mean()) < 0.05 * np.abs(am_tail).max()
+
+
+def test_bank_raw_i16_input_matches_converted():
+    """ReceiverBank(input_format='i16'): raw int16 wire samples through
+    the modulated-taps front end (scale folded into taps, int16 carried
+    tail) must match the c64 bank on converted input, streamed."""
+    from tpudsp.chains.bank import BankConfig, ReceiverBank
+    from tests.util import snr_db
+
+    fs = 2_400_000.0
+    cfg = BankConfig(freqs=(-500_000.0, 0.0, 400_000.0), iq_rate=fs,
+                     demod=("fm", "am", "fm"))
+    n = 200_000
+    t = np.arange(2 * n)
+    x = (0.4 * np.exp(2j * np.pi * (400_000.0 / fs) * t
+                      + 0.2j * np.sin(2 * np.pi * 0.001 * t))
+         + 0.3 * (1 + 0.5 * np.sin(2 * np.pi * 0.0005 * t)))
+    i16 = np.stack([np.round(np.real(x) * 32767 * 0.5),
+                    np.round(np.imag(x) * 32767 * 0.5)],
+                   axis=1).astype(np.int16)
+    c64 = ((i16[:, 0] + 1j * i16[:, 1]) / 32767.0).astype(np.complex64)
+
+    b_c = ReceiverBank(cfg, block_len=n)
+    b_i = ReceiverBank(cfg, block_len=n, input_format="i16")
+    for b in range(2):
+        y_c = np.asarray(b_c(c64[b * n:(b + 1) * n]))
+        y_i = np.asarray(b_i(i16[b * n:(b + 1) * n]))
+        assert snr_db(y_c, y_i) > 90.0, b

@@ -149,7 +149,13 @@ class BankState(NamedTuple):
     y1_tail: object = None   # (C, K2-1) complex64 baseband tails (SSB banks)
 
 
-def build(cfg: BankConfig):
+def build(cfg: BankConfig, input_format: str = "c64"):
+    """input_format='i16' plans for RAW interleaved int16 IQ: the 1/32767
+    scale folds into the modulated channel taps and the shared input tail
+    stays int16 (4 B/sample HBM ingest instead of 8)."""
+    if input_format not in ("c64", "i16"):
+        raise ValueError(f"unknown input_format {input_format!r} "
+                         "(use 'c64' or 'i16')")
     C = cfg.nchan
     if not isinstance(cfg.demod, str) and len(cfg.demod) != C:
         raise ValueError("per-channel demod tuple must match freqs")
@@ -167,6 +173,8 @@ def build(cfg: BankConfig):
     # modulated taps h1[k] e^{+j w_c k}, flipped to correlation order and
     # D1-blocked for the MXU matmul front end (kernels/decimate.py)
     hm = (h1[None, :] * np.exp(1j * w[:, None] * k[None, :]))[:, ::-1]
+    if input_format == "i16":
+        hm = hm * (1.0 / 32767.0)
     taps_re = kdec.plan_phase_taps(hm.real.astype(np.float32), cfg.decim1)
     taps_im = kdec.plan_phase_taps(hm.imag.astype(np.float32), cfg.decim1)
     h2p = firdes.kaiser_lowpass(cfg.taps2, 0.45 / cfg.decim2, 60.0)[::-1]
@@ -226,7 +234,9 @@ def build(cfg: BankConfig):
         lsb_sign=None if lsb_sign is None else jnp.asarray(lsb_sign),
     )
     state = BankState(
-        in_tail=jnp.zeros((cfg.taps1 - 1,), jnp.complex64),
+        in_tail=(jnp.zeros((cfg.taps1 - 1, 2), jnp.int16)
+                 if input_format == "i16"
+                 else jnp.zeros((cfg.taps1 - 1,), jnp.complex64)),
         phase=jnp.zeros((C,), jnp.uint32),
         n0=jnp.uint32(0),
         fd_prev=jnp.full((C,), 1.0 + 0.0j, jnp.complex64),
@@ -273,12 +283,16 @@ def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig,
     D1, D2 = cfg.decim1, cfg.decim2
     K1, K2 = cfg.taps1, cfg.taps2
     n = iq.shape[0]
-    X = jnp.concatenate([state.in_tail, iq])  # (K1-1+N,)
+    X = jnp.concatenate([state.in_tail, iq])  # (K1-1+N,) or (.., 2) i16
 
     # batched mix+channelize: blocked MXU matmuls -> (C, N/D1) complex
     nj1 = n // D1
-    y1m = kdec.strided_cfir_matmul_wide(
-        X, params.taps_re, params.taps_im, D1, nj1)
+    if X.ndim == 2:  # raw-int16 plan (build(input_format='i16'))
+        y1m = kdec.strided_cfir_matmul_wide_i16(
+            X, params.taps_re, params.taps_im, D1, nj1)
+    else:
+        y1m = kdec.strided_cfir_matmul_wide(
+            X, params.taps_re, params.taps_im, D1, nj1)
     # output rotation: e^{-j w_c (n0 + m D1)} via uint32 phase lattice
     m = jnp.arange(nj1, dtype=jnp.uint32)
     th_u = (state.phase[:, None]
@@ -397,7 +411,7 @@ class ReceiverBank:
     After each call, ``self.metrics`` holds the block's BlockMetrics."""
 
     def __init__(self, cfg: BankConfig, block_len: int = 1_000_000,
-                 backend: str = "xla"):
+                 backend: str = "xla", input_format: str = "c64"):
         D = cfg.decim1 * cfg.decim2
         if block_len % D:
             raise ValueError(f"block_len must be a multiple of {D}")
@@ -405,13 +419,20 @@ class ReceiverBank:
             raise ValueError(f"unknown backend {backend!r} (use 'xla' or 'pallas')")
         self.cfg = cfg
         self.block_len = block_len
-        self.params, self.state = build(cfg)
+        self.input_format = input_format
+        self.params, self.state = build(cfg, input_format)
         self.metrics = None
         self._step = jax.jit(partial(bank_step, cfg=cfg, backend=backend))
 
     def __call__(self, iq):
         from ..utils.profiling import annotate
-        iq = jnp.asarray(iq, jnp.complex64)
+        if self.input_format == "i16":
+            iq = jnp.asarray(iq)
+            if iq.dtype != jnp.int16 or iq.ndim != 2 or iq.shape[1] != 2:
+                raise TypeError("input_format='i16' expects (N, 2) int16 "
+                                f"[re, im]; got {iq.dtype} {iq.shape}")
+        else:
+            iq = jnp.asarray(iq, jnp.complex64)
         with annotate("ReceiverBank.step"):
             self.state, (audio, metrics) = self._step(self.params, self.state, iq)
         self.metrics = metrics

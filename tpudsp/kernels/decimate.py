@@ -242,6 +242,30 @@ def strided_cfir_matmul_wide(X, Tre, Tim, Q: int, nj: int):
     return (Y[:, :C].T + 1j * Y[:, C:].T).astype(jnp.complex64)
 
 
+def strided_cfir_matmul_wide_i16(X2, Tre, Tim, Q: int, nj: int):
+    """strided_cfir_matmul_wide for RAW interleaved int16 input: X2 is
+    (L, 2) int16 [re, im] wire samples and Tre/Tim carry the 1/32767
+    scale pre-folded. The im2col window matrix stays int16 until the dot
+    operand (2 B/component HBM traffic instead of 4), with the convert
+    riding the MXU load. Returns (C, nj) complex64."""
+    C, Kc, Q_ = Tre.shape
+    K1 = Kc * Q_
+    M = nj + Kc - 1
+    F = X2[: M * Q_].reshape(M, Q_, 2)
+    xr = F[..., 0]
+    xi = F[..., 1]
+    wr = jnp.concatenate([xr[c:c + nj] for c in range(Kc)], axis=1)
+    wi = jnp.concatenate([xi[c:c + nj] for c in range(Kc)], axis=1)
+    W = jnp.concatenate([wr, wi], axis=1).astype(jnp.float32)  # (nj, 2*K1)
+    Tr = Tre.reshape(C, K1).T
+    Ti = Tim.reshape(C, K1).T
+    TT = jnp.concatenate(
+        [jnp.concatenate([Tr, Ti], axis=1),
+         jnp.concatenate([-Ti, Tr], axis=1)], axis=0)  # (2*K1, 2*C)
+    Y = jnp.dot(W, TT, preferred_element_type=jnp.float32)
+    return (Y[:, :C].T + 1j * Y[:, C:].T).astype(jnp.complex64)
+
+
 def strided_cfir_matmul(X, Tre, Tim, Q: int, nj: int):
     """Multi-channel complex-taps strided FIR as blocked MXU matmuls
     (the receiver-bank front end: per-channel modulated taps, one shared
