@@ -221,7 +221,7 @@ def _bench_secondary(log, rate_stream):
                                  pi, si, xi, n, bytes_per_sample=4),
                      config=3))
 
-    # config 4: 1024-channel channelized bank
+    # config 4: 1024-channel channelized bank (c64 and raw-int16 ingest)
     from tpudsp.chains.channelizer import (
         ChannelizedBankConfig, bank_build, bank_step as chstep)
     ccfg = ChannelizedBankConfig()
@@ -231,6 +231,16 @@ def _bench_secondary(log, rate_stream):
     rows.append(dict(rate_stream("channelized_1024ch",
                                  partial(chstep, cfg=ccfg), cp, cs, xc, nc),
                      config=4))
+    cpi, csi = bank_build(ccfg, input_format="i16")
+    xcn = np.asarray(xc)
+    xci = jax.device_put(jnp.stack(
+        [jnp.asarray(np.clip(np.round(xcn.real * 32767), -32767, 32767),
+                     jnp.int16),
+         jnp.asarray(np.clip(np.round(xcn.imag * 32767), -32767, 32767),
+                     jnp.int16)], axis=1))
+    rows.append(dict(rate_stream("channelized_1024ch_i16",
+                                 partial(chstep, cfg=ccfg), cpi, csi, xci,
+                                 nc, bytes_per_sample=4), config=4))
 
     # config 5 core: the wideband scanner on ONE chip (time axis = 1);
     # multi-chip scaling is measured by tpudsp.bench_scaling when a mesh

@@ -238,3 +238,38 @@ def test_oversampled_channelized_fm_bank():
         freqs = np.fft.rfftfreq(len(tail), 1.0 / chan_rate)
         peak = freqs[np.argmax(spec[3:]) + 3]
         assert abs(peak - f_msg) < 0.02 * chan_rate, (c, peak, f_msg)
+
+
+def test_channelized_bank_raw_i16_matches_converted():
+    """ChannelizedBank(input_format='i16'): raw int16 wire samples
+    through the PFB (scale folded into the prototype branches, int16
+    carried tail) must match the c64 bank on converted input, streamed
+    and for both os=1 and os=2."""
+    from tests.util import snr_db
+
+    C = 32
+    iq_rate = 3_200_000.0
+    n = C * 2048
+    t = np.arange(2 * n)
+    x = sum(np.exp(1j * (2 * np.pi * (c / C) * t
+                         + 2 * np.pi * 0.05 / C * np.cumsum(
+                             np.sin(2 * np.pi * 0.0005 * (i + 1) * t))))
+            for i, c in enumerate((4, 19))) / 2
+    i16 = np.stack([np.round(np.real(x) * 32767 * 0.5),
+                    np.round(np.imag(x) * 32767 * 0.5)],
+                   axis=1).astype(np.int16)
+    c64 = ((i16[:, 0] + 1j * i16[:, 1]) / 32767.0).astype(np.complex64)
+
+    for os_, cf in ((1, 0.55), (2, 0.95)):
+        cfg = ChannelizedBankConfig(
+            channelizer=ChannelizerConfig(nchan=C, taps_per_branch=6,
+                                          iq_rate=iq_rate, oversample=os_,
+                                          cutoff_frac=cf),
+            demod="fm", kd=0.25)
+        b_c = ChannelizedBank(cfg, block_len=n)
+        b_i = ChannelizedBank(cfg, block_len=n, input_format="i16")
+        for b in range(2):
+            y_c = np.asarray(b_c(c64[b * n:(b + 1) * n]))
+            y_i = np.asarray(b_i(i16[b * n:(b + 1) * n]))
+            for ch in (4, 19):
+                assert snr_db(y_c[ch], y_i[ch]) > 90.0, (os_, b, ch)

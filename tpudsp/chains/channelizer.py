@@ -71,15 +71,25 @@ class ChannelizerState(NamedTuple):
     tail: jnp.ndarray  # ((T-1)*C + C-1,) complex64: carried raw samples
 
 
-def build(cfg: ChannelizerConfig):
+def build(cfg: ChannelizerConfig, input_format: str = "c64"):
+    """input_format='i16' plans for RAW interleaved int16 IQ: the
+    1/32767 scale folds into the prototype branches and the carried tail
+    stays int16 (2 B/component HBM ingest; see channelize_i16)."""
+    if input_format not in ("c64", "i16"):
+        raise ValueError(f"unknown input_format {input_format!r} "
+                         "(use 'c64' or 'i16')")
     C, T = cfg.nchan, cfg.taps_per_branch
     L = C * T
     # prototype: cutoff ~ half the channel spacing, unity passband gain
     h = firdes.kaiser_lowpass(L, cfg.cutoff_frac / C, cfg.As)
     h = h / h.sum()
+    if input_format == "i16":
+        h = h * (1.0 / 32767.0)
     Ht = jnp.asarray(h.reshape(T, C), jnp.float32)  # Ht[t, p] = h[t*C + p]
+    htail = (T - 1) * C + C - 1
     state = ChannelizerState(
-        tail=jnp.zeros(((T - 1) * C + C - 1,), jnp.complex64))
+        tail=(jnp.zeros((htail, 2), jnp.int16) if input_format == "i16"
+              else jnp.zeros((htail,), jnp.complex64)))
     return Ht, state
 
 
@@ -117,6 +127,38 @@ def channelize(Ht, state: ChannelizerState, x, os: int = 1):
         u = u + Ht[t][None, :] * jax.lax.dynamic_slice_in_dim(
             V, os * (T - 1 - t), M, axis=0)
     Y = (jnp.fft.ifft(u, axis=1) * C).astype(jnp.complex64)
+    if os == 2:
+        sign_c = (1.0 - 2.0 * (jnp.arange(C) % 2)).astype(jnp.float32)
+        odd = (jnp.arange(M) % 2).astype(jnp.float32)[:, None]
+        Y = Y * ((1.0 - odd) + odd * sign_c[None, :])
+    new_state = ChannelizerState(tail=xfull[-((T - 1) * C + C - 1):])
+    return new_state, Y
+
+
+def channelize_i16(Ht, state: ChannelizerState, x2, os: int = 1):
+    """channelize() for RAW int16 interleaved input: x2 (N, 2) int16
+    [re, im], Ht carrying the 1/32767 scale (build(input_format='i16')).
+    The commutator framing stays int16 (layout ops) and the per-branch
+    multiply-accumulate converts components at the FMA operand, so the T
+    passes over the frames read 2 B/component instead of 8 B/sample."""
+    T, C = Ht.shape
+    R = C // os
+    n = x2.shape[0]
+    M = n // R
+    xfull = jnp.concatenate([state.tail, x2])            # (htail+N, 2)
+    M_all = M + os * (T - 1)
+    if os == 1:
+        V = xfull[: M_all * C].reshape(M_all, C, 2)[:, ::-1]
+    else:
+        B = xfull[: (M_all + 1) * R].reshape(M_all + 1, R, 2)
+        V = jnp.concatenate([B[:-1], B[1:]], axis=1)[:, ::-1]
+    ur = jnp.zeros((M, C), jnp.float32)
+    ui = jnp.zeros((M, C), jnp.float32)
+    for t in range(T):
+        sl = jax.lax.dynamic_slice_in_dim(V, os * (T - 1 - t), M, axis=0)
+        ur = ur + Ht[t][None, :] * sl[..., 0].astype(jnp.float32)
+        ui = ui + Ht[t][None, :] * sl[..., 1].astype(jnp.float32)
+    Y = (jnp.fft.ifft(ur + 1j * ui, axis=1) * C).astype(jnp.complex64)
     if os == 2:
         sign_c = (1.0 - 2.0 * (jnp.arange(C) % 2)).astype(jnp.float32)
         odd = (jnp.arange(M) % 2).astype(jnp.float32)[:, None]
@@ -170,8 +212,8 @@ class ChannelizedBankConfig:
                 f"unknown demod {self.demod!r} (use 'fm' or 'am')")
 
 
-def bank_build(cfg: ChannelizedBankConfig):
-    Ht, ch_state = build(cfg.channelizer)
+def bank_build(cfg: ChannelizedBankConfig, input_format: str = "c64"):
+    Ht, ch_state = build(cfg.channelizer, input_format)
     C = cfg.channelizer.nchan
     b0, a = iirdes.deemphasis_coeffs(cfg.channelizer.chan_rate, cfg.deemph_tau)
     front = dc0 = amb = None
@@ -201,8 +243,9 @@ def bank_step(params, state: DemodBankState, x, *, cfg: ChannelizedBankConfig,
     every channel (freqdem + de-emphasis for FM; envelope or the coherent
     AGC+PLL+DC back end for AM)."""
     Ht, b0, a, amb = params
-    ch_state, Y = channelize(Ht, state.ch, x,
-                             os=cfg.channelizer.oversample)  # (M, C)
+    ch_fn = channelize_i16 if state.ch.tail.ndim == 2 else channelize
+    ch_state, Y = ch_fn(Ht, state.ch, x,
+                        os=cfg.channelizer.oversample)  # (M, C)
     Yc = Y.T                                       # (C, M)
     front, dc = state.front, state.dc
     sq_modes = None
@@ -249,20 +292,28 @@ class ChannelizedBank:
     """After each call, ``self.metrics`` holds the block's BlockMetrics."""
 
     def __init__(self, cfg: ChannelizedBankConfig = ChannelizedBankConfig(),
-                 block_len: int = 1 << 20, backend: str = "xla"):
+                 block_len: int = 1 << 20, backend: str = "xla",
+                 input_format: str = "c64"):
         if block_len % cfg.channelizer.nchan:
             raise ValueError("block_len must be a multiple of nchan")
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r} (use 'xla' or 'pallas')")
         self.cfg = cfg
         self.block_len = block_len
-        self.params, self.state = bank_build(cfg)
+        self.input_format = input_format
+        self.params, self.state = bank_build(cfg, input_format)
         self.metrics = None
         self._step = jax.jit(partial(bank_step, cfg=cfg, backend=backend))
 
     def __call__(self, iq):
         from ..utils.profiling import annotate
-        iq = jnp.asarray(iq, jnp.complex64)
+        if self.input_format == "i16":
+            iq = jnp.asarray(iq)
+            if iq.dtype != jnp.int16 or iq.ndim != 2 or iq.shape[1] != 2:
+                raise TypeError("input_format='i16' expects (N, 2) int16 "
+                                f"[re, im]; got {iq.dtype} {iq.shape}")
+        else:
+            iq = jnp.asarray(iq, jnp.complex64)
         with annotate("ChannelizedBank.step"):
             self.state, (audio, metrics) = self._step(self.params, self.state,
                                                       iq)
