@@ -35,3 +35,18 @@ def left_halo(x_local, halo: int, axis_name: str, leftmost_fill):
     return jnp.where(idx == 0, leftmost_fill, from_left)
 
 
+def left_halo_rows(x_local, halo: int, axis_name: str, leftmost_fill):
+    """left_halo with time on axis 0 of an (N, ...) array — the layout of
+    raw-int16 (N, 2) wire-sample blocks. Returns (halo, ...)."""
+    n_shards = lax.axis_size(axis_name)
+    if halo <= 0:
+        return x_local[:0]
+    if n_shards == 1:
+        return leftmost_fill
+    idx = lax.axis_index(axis_name)
+    tail = x_local[-halo:]
+    perm = [(i, i + 1) for i in range(n_shards - 1)]
+    from_left = lax.ppermute(tail, axis_name, perm)
+    return jnp.where(idx == 0, leftmost_fill, from_left)
+
+

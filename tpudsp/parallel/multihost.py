@@ -57,7 +57,14 @@ def _channelize_local(Ht, tail_local, x_local, os: int = 1):
     chains/channelizer.py channelize; the branch-domain framing including
     the os=2 odd-frame roll is parallel/channelizer.py _frontend_local,
     whose local frame parity matches global parity because every shard
-    owns an even frame count when block_len % (C * n_shards) == 0)."""
+    owns an even frame count when block_len % (C * n_shards) == 0).
+    Raw-int16 (N, 2) slices route through chains.channelizer.channelize_i16
+    (taps carry the 1/32767 scale; tail stays int16)."""
+    if x_local.ndim == 2:
+        from ..chains.channelizer import channelize_i16
+        st, Y = channelize_i16(Ht, ChannelizerState(tail=tail_local),
+                               x_local, os)
+        return st.tail, Y
     from .channelizer import _frontend_local
     T, C = Ht.shape
     u = _frontend_local(Ht, tail_local, x_local, os)
@@ -70,11 +77,14 @@ def scanner_step(params, state: DemodBankState, x_local, *, cfg: ChannelizedBank
     """shard_map body: time-sharded channelize + demod. The (T-1)*C + C-1
     boundary samples come from the left time neighbor (overlap-save
     exchange over ICI/DCN); the leftmost shard uses the block-carried tail."""
-    from .halo import left_halo
+    from .halo import left_halo, left_halo_rows
     Ht, b0, a, amb = params
     T, C = Ht.shape
     halo = (T - 1) * C + C - 1
-    tail_local = left_halo(x_local, halo, TIME_AXIS, state.ch.tail)
+    if x_local.ndim == 2:  # raw-int16 (N_loc, 2) wire samples
+        tail_local = left_halo_rows(x_local, halo, TIME_AXIS, state.ch.tail)
+    else:
+        tail_local = left_halo(x_local, halo, TIME_AXIS, state.ch.tail)
     new_tail, Y = _channelize_local(Ht, tail_local, x_local,
                                     os=cfg.channelizer.oversample)
     Yc = Y.T  # (C, M_loc)
@@ -118,7 +128,8 @@ class ShardedScanner:
     the mesh. Single-host it uses the local mesh; multi-host, build the
     mesh over jax.devices() after init_distributed."""
 
-    def __init__(self, cfg: ChannelizedBankConfig, mesh: Mesh, block_len: int):
+    def __init__(self, cfg: ChannelizedBankConfig, mesh: Mesh, block_len: int,
+                 input_format: str = "c64"):
         C = cfg.channelizer.nchan
         n_time = mesh.shape[TIME_AXIS]
         if block_len % (C * n_time):
@@ -126,7 +137,8 @@ class ShardedScanner:
         self.cfg = cfg
         self.mesh = mesh
         self.block_len = block_len
-        self.params, self.state = bank_build(cfg)
+        self.input_format = input_format
+        self.params, self.state = bank_build(cfg, input_format)
 
         coherent = self.state.front is not None
         front_in = front_out = dc_in = dc_out = None
@@ -162,7 +174,13 @@ class ShardedScanner:
         self._step = jax.jit(step)
 
     def __call__(self, iq):
-        iq = jax.device_put(jnp.asarray(iq, jnp.complex64),
-                            NamedSharding(self.mesh, P(TIME_AXIS)))
+        if self.input_format == "i16":
+            iq = jnp.asarray(iq)
+            if iq.dtype != jnp.int16 or iq.ndim != 2 or iq.shape[1] != 2:
+                raise TypeError("input_format='i16' expects (N, 2) int16 "
+                                f"[re, im]; got {iq.dtype} {iq.shape}")
+        else:
+            iq = jnp.asarray(iq, jnp.complex64)
+        iq = jax.device_put(iq, NamedSharding(self.mesh, P(TIME_AXIS)))
         self.state, audio = self._step(self.params, self.state, iq)
         return audio
