@@ -316,6 +316,24 @@ def _impl(platform: str):
     except Exception as e:
         log(f"i16-ingest bench skipped: {type(e).__name__}: {e}")
 
+    # RTL-SDR uint8 wire format (2 B/sample): 4x the complex64 ingest
+    # ceiling; pinned by test_am_receiver_raw_u8_input_matches_converted
+    try:
+        params_u, state_u, _ = build(cfg, block, input_format="u8")
+        u8 = jax.device_put(jnp.stack(
+            [jnp.asarray(np.clip(np.round(iq.real * 127.5 + 127.5), 0, 255),
+                         jnp.uint8),
+             jnp.asarray(np.clip(np.round(iq.imag * 127.5 + 127.5), 0, 255),
+                         jnp.uint8)], axis=1))
+        row_u = rate_stream("am_chain_fused_u8",
+                            partial(am_step_fused, cfg=cfg, exact=False),
+                            params_u, state_u, u8, block,
+                            bytes_per_sample=2)
+        if row_u["value"] > row["value"]:
+            row = row_u
+    except Exception as e:
+        log(f"u8-ingest bench skipped: {type(e).__name__}: {e}")
+
     rows = [dict(row, config=1)]
     if "--all" in sys.argv:
         rows += _bench_secondary(log, rate_stream)

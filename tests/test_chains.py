@@ -233,3 +233,34 @@ def test_am_receiver_raw_i16_input_matches_converted():
 
     with pytest.raises(TypeError, match="int16"):
         rx_i(c64[:n])
+
+
+def test_am_receiver_raw_u8_input_matches_converted():
+    """input_format='u8' (RTL-SDR wire format, 2 B/sample): the affine
+    (b-127.5)/127.5 conversion folds into scaled taps + a per-phase DC
+    subtraction; output must match the c64 chain on u8_to_iq-converted
+    samples, streamed (block 0's first kf samples carry the documented
+    half-LSB tail-init transient, so block 1 carries the tight pin)."""
+    from tpudsp.chains.am import AMConfig, AMReceiver
+
+    n = 250_000
+    t = np.arange(2 * n)
+    msg = np.sin(2 * np.pi * 1000.0 / 2e6 * t)
+    iq_f = (1 + 0.5 * msg) * 0.3 * np.exp(2j * np.pi * 200.0 / 2e6 * t)
+    u8 = np.stack([np.round(iq_f.real * 127.5 * 0.9 + 127.5),
+                   np.round(iq_f.imag * 127.5 * 0.9 + 127.5)],
+                  axis=1).clip(0, 255).astype(np.uint8)
+    c64 = ((u8[:, 0] - 127.5) / 127.5
+           + 1j * (u8[:, 1] - 127.5) / 127.5).astype(np.complex64)
+
+    rx_c = AMReceiver(AMConfig(), block_len=n)
+    rx_u = AMReceiver(AMConfig(), block_len=n, input_format="u8")
+    floors = (50.0, 90.0)
+    for b, floor in enumerate(floors):
+        y_c = np.asarray(rx_c(c64[b * n:(b + 1) * n]))
+        y_u = np.asarray(rx_u(u8[b * n:(b + 1) * n]))
+        got = snr_db(y_c, y_u)
+        assert got > floor, (b, got)
+
+    with pytest.raises(TypeError, match="uint8"):
+        rx_u(c64[:n])

@@ -92,6 +92,7 @@ class AMParams(NamedTuple):
     deemph_b0: jnp.ndarray
     deemph_a: jnp.ndarray
     mod: jnp.ndarray
+    u8_dc: object = None        # (P,) per-phase tap sums (u8 wire format)
 
 
 def _rational(rate: float, max_den: int = 10000):
@@ -141,14 +142,21 @@ def build(cfg: AMConfig, block_len: int, input_format: str = "c64"):
         # offsets folded into the taps: ONE matmul pass over the input
         # serves all P phases (kernels/decimate.fold_offsets)
         taps_fused = kdec.fold_offsets(taps_raw, offs, Q)
-    if input_format == "i16":
+    u8_dc = None
+    if input_format in ("i16", "u8"):
         if pq is None:
-            raise ValueError("input_format='i16' needs the fused plan "
-                             "(rational rate)")
-        taps_fused = taps_fused * np.float32(1.0 / 32767.0)
+            raise ValueError(f"input_format={input_format!r} needs the "
+                             "fused plan (rational rate)")
+        if input_format == "i16":
+            taps_fused = taps_fused * np.float32(1.0 / 32767.0)
+        else:  # u8: affine (b-127.5)/127.5 -> scaled taps + per-phase DC
+            u8_dc = jnp.asarray(
+                taps_fused.reshape(taps_fused.shape[0], -1).sum(axis=1),
+                jnp.float32)
+            taps_fused = taps_fused * np.float32(1.0 / 127.5)
     elif input_format != "c64":
         raise ValueError(f"unknown input_format {input_format!r} "
-                         "(use 'c64' or 'i16')")
+                         "(use 'c64', 'i16' or 'u8')")
 
     params = AMParams(
         h_bp=jnp.asarray(h_bp, jnp.float32),
@@ -164,12 +172,18 @@ def build(cfg: AMConfig, block_len: int, input_format: str = "c64"):
         deemph_b0=jnp.float32(iirdes.deemphasis_coeffs(cfg.pcm_rate)[0]),
         deemph_a=jnp.float32(iirdes.deemphasis_coeffs(cfg.pcm_rate)[1]),
         mod=jnp.float32(cfg.modulation),
+        u8_dc=u8_dc,
     )
     ntaps_rs = 2 * cfg.resamp_m
     kf = len(h_bp) + ntaps_rs - 1  # fused filter length
-    rs_tail = (jnp.zeros((max(ntaps_rs, kf), 2), jnp.int16)
-               if input_format == "i16"
-               else jnp.zeros((max(ntaps_rs, kf),), jnp.complex64))
+    kf_full = max(ntaps_rs, kf)
+    if input_format == "i16":
+        rs_tail = jnp.zeros((kf_full, 2), jnp.int16)
+    elif input_format == "u8":
+        # 127 ~ zero signal to within half an LSB (127.5 unrepresentable)
+        rs_tail = jnp.full((kf_full, 2), 127, jnp.uint8)
+    else:
+        rs_tail = jnp.zeros((kf_full,), jnp.complex64)
     state = AMState(
         fir_tail=kfir.fir_init(len(h_bp), jnp.complex64),
         rs_tail=rs_tail,
@@ -267,7 +281,10 @@ def am_step_fused(params: AMParams, state: AMState, iq, *, cfg: AMConfig,
     # it as max(2m, kf) and kf >= 2m always for a TIR bandpass); taps are
     # offset-folded (build), so one matmul pass serves all P phases
     with jax.named_scope("am.front.fused"):
-        if state.rs_tail.ndim == 2:  # i16 plan: raw-sample tail + input
+        if state.rs_tail.ndim == 2 and state.rs_tail.dtype == jnp.uint8:
+            rs_tail_full, y48 = kdec.fused_frontend_apply_shared_u8(
+                params.taps_fused, params.u8_dc, state.rs_tail, iq, Q, nj)
+        elif state.rs_tail.ndim == 2:  # i16 plan: raw tail + input
             rs_tail_full, y48 = kdec.fused_frontend_apply_shared_i16(
                 params.taps_fused, state.rs_tail, iq, Q, nj)
         else:
@@ -294,8 +311,9 @@ class AMReceiver:
                  input_format: str = "c64"):
         if plan == "fused" and _rational(cfg.rate) is None:
             plan = "composed"
-        if input_format == "i16" and plan != "fused":
-            raise ValueError("input_format='i16' requires the fused plan")
+        if input_format in ("i16", "u8") and plan != "fused":
+            raise ValueError(f"input_format={input_format!r} requires the "
+                             "fused plan")
         self.cfg = cfg
         self.block_len = int(block_len)
         self.plan = plan
@@ -308,11 +326,13 @@ class AMReceiver:
 
     def __call__(self, iq):
         from ..utils.profiling import annotate
-        if self.input_format == "i16":
+        if self.input_format in ("i16", "u8"):
+            want = jnp.int16 if self.input_format == "i16" else jnp.uint8
             iq = jnp.asarray(iq)
-            if iq.dtype != jnp.int16 or iq.ndim != 2 or iq.shape[1] != 2:
-                raise TypeError("input_format='i16' expects (N, 2) int16 "
-                                f"[re, im]; got {iq.dtype} {iq.shape}")
+            if iq.dtype != want or iq.ndim != 2 or iq.shape[1] != 2:
+                raise TypeError(
+                    f"input_format={self.input_format!r} expects (N, 2) "
+                    f"{want.__name__} [re, im]; got {iq.dtype} {iq.shape}")
         else:
             iq = jnp.asarray(iq, jnp.complex64)
         if iq.shape[0] != self.block_len:

@@ -106,15 +106,16 @@ class IQStream:
     def __init__(self, block_len: int, capacity_blocks: int = 64,
                  sample_format: str = "int16"):
         """sample_format: 'int16' (convert to complex64/32767, reference
-        utility.hpp:61-69), 'uint8' (RTL-SDR style), or 'int16_raw'
-        (NO host conversion: pop_block returns the (N, 2) int16 wire
-        samples for chains built with input_format='i16' — half the
-        host->device transfer and HBM ingest of the complex64 path)."""
-        if sample_format not in ("int16", "uint8", "int16_raw"):
+        utility.hpp:61-69), 'uint8' (RTL-SDR style), or the raw
+        passthrough twins 'int16_raw' / 'uint8_raw' (NO host conversion:
+        pop_block returns the (N, 2) wire samples for chains built with
+        input_format='i16'/'u8' — 2-4x less host->device transfer and
+        HBM ingest than the complex64 path)."""
+        if sample_format not in ("int16", "uint8", "int16_raw", "uint8_raw"):
             raise ValueError(f"unknown sample_format {sample_format!r}")
         self.block_len = int(block_len)
         self.sample_format = sample_format
-        self._bps = 2 if sample_format == "uint8" else 4  # bytes/IQ pair
+        self._bps = 2 if sample_format.startswith("uint8") else 4
         lib = _load()
         self._native = bool(lib)
         if self._native:
@@ -154,6 +155,8 @@ class IQStream:
                 del self._buf[:nbytes]
         if self.sample_format == "int16_raw":
             return np.frombuffer(data, np.int16).reshape(-1, 2)
+        if self.sample_format == "uint8_raw":
+            return np.frombuffer(data, np.uint8).reshape(-1, 2)
         conv = bytes_to_iq if self.sample_format == "int16" else u8_to_iq
         return conv(data)
 

@@ -169,6 +169,29 @@ def fused_frontend_apply_shared_i16(taps, tail, iq2, Q: int, nj: int):
     return new_tail, y
 
 
+def fused_frontend_apply_shared_u8(taps, dc, tail, iq2, Q: int, nj: int):
+    """RTL-SDR wire format: (N, 2) uint8 with sample value (b-127.5)/127.5
+    (reference io convention, u8_to_iq). The affine conversion folds into
+    the matmul: y = sum t_i (b_i-127.5)/127.5 = sum (t_i/127.5) b_i -
+    sum t_i, so taps carry the 1/127.5 scale and ``dc`` is the per-phase
+    original-tap sum subtracted from each output component. HBM ingest:
+    2 B/sample. taps: (P, Kc2, Q) f32 offset-folded scaled taps; dc: (P,)
+    f32; tail: (kf, 2) uint8 (init 127 ~ half-LSB of zero signal)."""
+    P, Kc2, _ = taps.shape
+    kf = tail.shape[0]
+    # pad value is irrelevant: windows only overlap the pad region where
+    # the folded taps are zero (real taps end within tail+iq by plan)
+    X = jnp.concatenate(
+        [tail, iq2, jnp.full(((Kc2 + 1) * Q, 2), 127, jnp.uint8)])
+    M = nj + Kc2 - 1
+    F = X[: M * Q].reshape(M, Q, 2)
+    yr = _shared_grid_matmul(F[..., 0].astype(jnp.float32), taps, nj) - dc
+    yi = _shared_grid_matmul(F[..., 1].astype(jnp.float32), taps, nj) - dc
+    y = (yr + 1j * yi).reshape(-1).astype(jnp.complex64)
+    new_tail = jnp.concatenate([tail, iq2])[-kf:]
+    return new_tail, y
+
+
 def fused_frontend_apply_i16(taps, tail, iq2, offsets, Q: int, nj: int):
     """fused_frontend_apply for RAW int16 interleaved input — the radio's
     native format (reference utility.hpp:61-69 converts host-side; here
