@@ -2,6 +2,7 @@
 back end (cfg.am_coherent: per-channel AGC + carrier PLL + DC tracker)."""
 
 import numpy as np
+import pytest
 
 from tpudsp.chains import BankConfig, ReceiverBank
 
@@ -154,3 +155,47 @@ def test_bank_raw_i16_input_matches_converted():
         y_c = np.asarray(b_c(c64[b * n:(b + 1) * n]))
         y_i = np.asarray(b_i(i16[b * n:(b + 1) * n]))
         assert snr_db(y_c, y_i) > 90.0, b
+
+
+def test_bank_raw_u8_input_matches_converted():
+    """ReceiverBank(input_format='u8') — RTL-SDR wire format: the affine
+    (b-127.5)/127.5 conversion folds into scaled modulated taps + a
+    per-channel DC subtraction inside the wide front-end matmul
+    (kernels/decimate.py strided_cfir_matmul_wide_u8); output must match
+    the c64 bank on converted input, streamed (block 0 carries the
+    documented half-LSB tail-init transient, so block 1 pins tight)."""
+    from tpudsp.chains.bank import BankConfig, ReceiverBank
+    from tests.util import snr_db
+
+    fs = 2_400_000.0
+    # every channel carries a real signal: an empty FM channel
+    # arctan2-demodulates float-level residuals, which the u8 path's
+    # large-term DC cancellation legitimately perturbs
+    cfg = BankConfig(freqs=(-500_000.0, 0.0, 400_000.0), iq_rate=fs,
+                     demod=("fm", "am", "fm"))
+    n = 200_000
+    t = np.arange(2 * n)
+    x = (0.4 * np.exp(2j * np.pi * (400_000.0 / fs) * t
+                      + 0.2j * np.sin(2 * np.pi * 0.001 * t))
+         + 0.25 * np.exp(-2j * np.pi * (500_000.0 / fs) * t
+                         + 0.3j * np.sin(2 * np.pi * 0.002 * t))
+         + 0.3 * (1 + 0.5 * np.sin(2 * np.pi * 0.0005 * t)))
+    u8 = np.stack([np.round(np.real(x) * 127.5 * 0.5 + 127.5),
+                   np.round(np.imag(x) * 127.5 * 0.5 + 127.5)],
+                  axis=1).clip(0, 255).astype(np.uint8)
+    c64 = ((u8[:, 0] - 127.5) / 127.5
+           + 1j * (u8[:, 1] - 127.5) / 127.5).astype(np.complex64)
+
+    b_c = ReceiverBank(cfg, block_len=n)
+    b_u = ReceiverBank(cfg, block_len=n, input_format="u8")
+    # block 0: the uint8 tail init (127 ~ -half-LSB, not exactly zero)
+    # rings the front filter for taps1-1 input samples -> a few audio
+    # samples; skip that documented transient, then pin tight
+    for b, (floor, skip) in enumerate(((60.0, 32), (85.0, 0))):
+        y_c = np.asarray(b_c(c64[b * n:(b + 1) * n]))
+        y_u = np.asarray(b_u(u8[b * n:(b + 1) * n]))
+        got = snr_db(y_c[:, skip:], y_u[:, skip:])
+        assert got > floor, (b, got)
+
+    with pytest.raises(TypeError, match="uint8"):
+        b_u(c64[:n])

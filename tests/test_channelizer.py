@@ -273,3 +273,45 @@ def test_channelized_bank_raw_i16_matches_converted():
             y_i = np.asarray(b_i(i16[b * n:(b + 1) * n]))
             for ch in (4, 19):
                 assert snr_db(y_c[ch], y_i[ch]) > 90.0, (os_, b, ch)
+
+
+def test_channelized_bank_raw_u8_matches_converted():
+    """ChannelizedBank(input_format='u8') — RTL-SDR wire format through
+    the PFB: the 1/127.5 scale folds into the prototype branches and the
+    -127.5 offset is a per-branch constant subtracted before the channel
+    IFFT (chains/channelizer.py channelize_i16 u8 branch); must match
+    the c64 bank on converted input, streamed, os=1 and os=2 (block 0
+    carries the half-LSB tail-init transient, block 1 pins tight)."""
+    from tests.util import snr_db
+
+    C = 32
+    iq_rate = 3_200_000.0
+    n = C * 2048
+    t = np.arange(2 * n)
+    x = sum(np.exp(1j * (2 * np.pi * (c / C) * t
+                         + 2 * np.pi * 0.05 / C * np.cumsum(
+                             np.sin(2 * np.pi * 0.0005 * (i + 1) * t))))
+            for i, c in enumerate((4, 19))) / 2
+    u8 = np.stack([np.round(np.real(x) * 127.5 * 0.9 + 127.5),
+                   np.round(np.imag(x) * 127.5 * 0.9 + 127.5)],
+                  axis=1).clip(0, 255).astype(np.uint8)
+    c64 = ((u8[:, 0] - 127.5) / 127.5
+           + 1j * (u8[:, 1] - 127.5) / 127.5).astype(np.complex64)
+
+    for os_, cf in ((1, 0.55), (2, 0.95)):
+        cfg = ChannelizedBankConfig(
+            channelizer=ChannelizerConfig(nchan=C, taps_per_branch=6,
+                                          iq_rate=iq_rate, oversample=os_,
+                                          cutoff_frac=cf),
+            demod="fm", kd=0.25)
+        b_c = ChannelizedBank(cfg, block_len=n)
+        b_u = ChannelizedBank(cfg, block_len=n, input_format="u8")
+        # block 0: the uint8 tail init (127 ~ -half-LSB, not exactly
+        # zero) rings the first T-1 PFB frames, which the FM
+        # discriminator amplifies; skip that documented transient
+        for b, (floor, skip) in enumerate(((60.0, 64), (85.0, 0))):
+            y_c = np.asarray(b_c(c64[b * n:(b + 1) * n]))
+            y_u = np.asarray(b_u(u8[b * n:(b + 1) * n]))
+            for ch in (4, 19):
+                got = snr_db(y_c[ch, skip:], y_u[ch, skip:])
+                assert got > floor, (os_, b, ch, got)

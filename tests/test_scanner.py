@@ -138,3 +138,36 @@ def test_scanner_raw_i16_matches_converted():
             # int16 and float accumulation orders
             for ch in (3, 11, 25):
                 assert snr_db(y_c[ch], y_i[ch]) > 90.0, (shards, b, ch)
+
+
+def test_scanner_raw_u8_matches_converted():
+    """ShardedScanner(input_format='u8'): the RTL-SDR wire-format path
+    through the time-sharded PFB (uint8 boundary halo over ppermute,
+    per-branch DC subtraction before the channel IFFT) must match the
+    c64 scanner on converted input, across shards and blocks."""
+    C = 32
+    cfg = _cfg(C)
+    n = C * 2048
+    x = _iq(2 * n, C, seed=7)
+    u8 = np.stack([np.round(x.real * 127.5 * 0.5 + 127.5),
+                   np.round(x.imag * 127.5 * 0.5 + 127.5)],
+                  axis=1).clip(0, 255).astype(np.uint8)
+    c64 = ((u8[:, 0] - 127.5) / 127.5
+           + 1j * (u8[:, 1] - 127.5) / 127.5).astype(np.complex64)
+
+    for shards in (1, 8):
+        s_c = ShardedScanner(cfg, make_mesh(1, shards), block_len=n)
+        s_u = ShardedScanner(cfg, make_mesh(1, shards), block_len=n,
+                             input_format="u8")
+        # block 0's leftmost shard carries the half-LSB tail-init
+        # transient (127 is not exactly zero), which the FM
+        # discriminator amplifies across the first T-1 frames: skip
+        # that documented prefix, then pin tight
+        for b, (floor, skip) in enumerate(((60.0, 64), (85.0, 0))):
+            y_c = np.asarray(s_c(c64[b * n:(b + 1) * n]))
+            y_u = np.asarray(s_u(u8[b * n:(b + 1) * n]))
+            assert y_c.shape == y_u.shape
+            # occupied channels only (see the i16 twin above)
+            for ch in (3, 11, 25):
+                got = snr_db(y_c[ch, skip:], y_u[ch, skip:])
+                assert got > floor, (shards, b, ch, got)

@@ -152,10 +152,14 @@ class BankState(NamedTuple):
 def build(cfg: BankConfig, input_format: str = "c64"):
     """input_format='i16' plans for RAW interleaved int16 IQ: the 1/32767
     scale folds into the modulated channel taps and the shared input tail
-    stays int16 (4 B/sample HBM ingest instead of 8)."""
-    if input_format not in ("c64", "i16"):
+    stays int16 (4 B/sample HBM ingest instead of 8). input_format='u8'
+    is the RTL-SDR wire format ((b-127.5)/127.5, 2 B/sample): the 1/127.5
+    scale folds the same way and the offset becomes a per-channel DC term
+    inside the front-end matmul (kernels/decimate.py
+    strided_cfir_matmul_wide_u8)."""
+    if input_format not in ("c64", "i16", "u8"):
         raise ValueError(f"unknown input_format {input_format!r} "
-                         "(use 'c64' or 'i16')")
+                         "(use 'c64', 'i16' or 'u8')")
     C = cfg.nchan
     if not isinstance(cfg.demod, str) and len(cfg.demod) != C:
         raise ValueError("per-channel demod tuple must match freqs")
@@ -175,6 +179,8 @@ def build(cfg: BankConfig, input_format: str = "c64"):
     hm = (h1[None, :] * np.exp(1j * w[:, None] * k[None, :]))[:, ::-1]
     if input_format == "i16":
         hm = hm * (1.0 / 32767.0)
+    elif input_format == "u8":
+        hm = hm * (1.0 / 127.5)
     taps_re = kdec.plan_phase_taps(hm.real.astype(np.float32), cfg.decim1)
     taps_im = kdec.plan_phase_taps(hm.imag.astype(np.float32), cfg.decim1)
     h2p = firdes.kaiser_lowpass(cfg.taps2, 0.45 / cfg.decim2, 60.0)[::-1]
@@ -236,6 +242,9 @@ def build(cfg: BankConfig, input_format: str = "c64"):
     state = BankState(
         in_tail=(jnp.zeros((cfg.taps1 - 1, 2), jnp.int16)
                  if input_format == "i16"
+                 # 127 ~ zero signal to within half an LSB
+                 else jnp.full((cfg.taps1 - 1, 2), 127, jnp.uint8)
+                 if input_format == "u8"
                  else jnp.zeros((cfg.taps1 - 1,), jnp.complex64)),
         phase=jnp.zeros((C,), jnp.uint32),
         n0=jnp.uint32(0),
@@ -287,7 +296,10 @@ def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig,
 
     # batched mix+channelize: blocked MXU matmuls -> (C, N/D1) complex
     nj1 = n // D1
-    if X.ndim == 2:  # raw-int16 plan (build(input_format='i16'))
+    if X.ndim == 2 and X.dtype == jnp.uint8:  # RTL-SDR wire format
+        y1m = kdec.strided_cfir_matmul_wide_u8(
+            X, params.taps_re, params.taps_im, D1, nj1)
+    elif X.ndim == 2:  # raw-int16 plan (build(input_format='i16'))
         y1m = kdec.strided_cfir_matmul_wide_i16(
             X, params.taps_re, params.taps_im, D1, nj1)
     else:
@@ -426,11 +438,13 @@ class ReceiverBank:
 
     def __call__(self, iq):
         from ..utils.profiling import annotate
-        if self.input_format == "i16":
+        if self.input_format in ("i16", "u8"):
+            want = jnp.int16 if self.input_format == "i16" else jnp.uint8
             iq = jnp.asarray(iq)
-            if iq.dtype != jnp.int16 or iq.ndim != 2 or iq.shape[1] != 2:
-                raise TypeError("input_format='i16' expects (N, 2) int16 "
-                                f"[re, im]; got {iq.dtype} {iq.shape}")
+            if iq.dtype != want or iq.ndim != 2 or iq.shape[1] != 2:
+                raise TypeError(
+                    f"input_format={self.input_format!r} expects (N, 2) "
+                    f"{want.__name__} [re, im]; got {iq.dtype} {iq.shape}")
         else:
             iq = jnp.asarray(iq, jnp.complex64)
         with annotate("ReceiverBank.step"):

@@ -74,10 +74,13 @@ class ChannelizerState(NamedTuple):
 def build(cfg: ChannelizerConfig, input_format: str = "c64"):
     """input_format='i16' plans for RAW interleaved int16 IQ: the
     1/32767 scale folds into the prototype branches and the carried tail
-    stays int16 (2 B/component HBM ingest; see channelize_i16)."""
-    if input_format not in ("c64", "i16"):
+    stays int16 (2 B/component HBM ingest; see channelize_i16).
+    input_format='u8' is the RTL-SDR wire format ((b-127.5)/127.5,
+    1 B/component): the 1/127.5 scale folds the same way and the offset
+    is subtracted per branch before the channel IFFT."""
+    if input_format not in ("c64", "i16", "u8"):
         raise ValueError(f"unknown input_format {input_format!r} "
-                         "(use 'c64' or 'i16')")
+                         "(use 'c64', 'i16' or 'u8')")
     C, T = cfg.nchan, cfg.taps_per_branch
     L = C * T
     # prototype: cutoff ~ half the channel spacing, unity passband gain
@@ -85,10 +88,15 @@ def build(cfg: ChannelizerConfig, input_format: str = "c64"):
     h = h / h.sum()
     if input_format == "i16":
         h = h * (1.0 / 32767.0)
+    elif input_format == "u8":
+        h = h * (1.0 / 127.5)
     Ht = jnp.asarray(h.reshape(T, C), jnp.float32)  # Ht[t, p] = h[t*C + p]
     htail = (T - 1) * C + C - 1
     state = ChannelizerState(
         tail=(jnp.zeros((htail, 2), jnp.int16) if input_format == "i16"
+              # 127 ~ zero signal to within half an LSB
+              else jnp.full((htail, 2), 127, jnp.uint8)
+              if input_format == "u8"
               else jnp.zeros((htail,), jnp.complex64)))
     return Ht, state
 
@@ -136,11 +144,15 @@ def channelize(Ht, state: ChannelizerState, x, os: int = 1):
 
 
 def channelize_i16(Ht, state: ChannelizerState, x2, os: int = 1):
-    """channelize() for RAW int16 interleaved input: x2 (N, 2) int16
-    [re, im], Ht carrying the 1/32767 scale (build(input_format='i16')).
-    The commutator framing stays int16 (layout ops) and the per-branch
-    multiply-accumulate converts components at the FMA operand, so the T
-    passes over the frames read 2 B/component instead of 8 B/sample."""
+    """channelize() for RAW wire-format input: x2 (N, 2) [re, im] as
+    int16 (Ht carrying the 1/32767 scale, build(input_format='i16')) or
+    RTL-SDR uint8 (Ht carrying 1/127.5, build(input_format='u8') — the
+    -127.5 offset is a per-branch constant 127.5*sum_t Ht[t, p],
+    subtracted from both components before the channel IFFT). The
+    commutator framing stays at wire width (layout ops) and the
+    per-branch multiply-accumulate converts components at the FMA
+    operand, so the T passes over the frames read 1-2 B/component
+    instead of 8 B/sample."""
     T, C = Ht.shape
     R = C // os
     n = x2.shape[0]
@@ -158,6 +170,10 @@ def channelize_i16(Ht, state: ChannelizerState, x2, os: int = 1):
         sl = jax.lax.dynamic_slice_in_dim(V, os * (T - 1 - t), M, axis=0)
         ur = ur + Ht[t][None, :] * sl[..., 0].astype(jnp.float32)
         ui = ui + Ht[t][None, :] * sl[..., 1].astype(jnp.float32)
+    if x2.dtype == jnp.uint8:
+        dc = jnp.float32(127.5) * jnp.sum(Ht, axis=0)    # (C,) per branch
+        ur = ur - dc[None, :]
+        ui = ui - dc[None, :]
     Y = (jnp.fft.ifft(ur + 1j * ui, axis=1) * C).astype(jnp.complex64)
     if os == 2:
         sign_c = (1.0 - 2.0 * (jnp.arange(C) % 2)).astype(jnp.float32)
@@ -307,11 +323,13 @@ class ChannelizedBank:
 
     def __call__(self, iq):
         from ..utils.profiling import annotate
-        if self.input_format == "i16":
+        if self.input_format in ("i16", "u8"):
+            want = jnp.int16 if self.input_format == "i16" else jnp.uint8
             iq = jnp.asarray(iq)
-            if iq.dtype != jnp.int16 or iq.ndim != 2 or iq.shape[1] != 2:
-                raise TypeError("input_format='i16' expects (N, 2) int16 "
-                                f"[re, im]; got {iq.dtype} {iq.shape}")
+            if iq.dtype != want or iq.ndim != 2 or iq.shape[1] != 2:
+                raise TypeError(
+                    f"input_format={self.input_format!r} expects (N, 2) "
+                    f"{want.__name__} [re, im]; got {iq.dtype} {iq.shape}")
         else:
             iq = jnp.asarray(iq, jnp.complex64)
         with annotate("ChannelizedBank.step"):

@@ -289,6 +289,39 @@ def strided_cfir_matmul_wide_i16(X2, Tre, Tim, Q: int, nj: int):
     return (Y[:, :C].T + 1j * Y[:, C:].T).astype(jnp.complex64)
 
 
+def strided_cfir_matmul_wide_u8(X2, Tre, Tim, Q: int, nj: int):
+    """strided_cfir_matmul_wide for the RTL-SDR uint8 wire format: X2 is
+    (L, 2) uint8 [re, im] with sample value (b - 127.5)/127.5 (reference
+    io convention, u8_to_iq). The affine conversion folds into the
+    matmul: Tre/Tim carry the 1/127.5 scale pre-folded, and the -127.5
+    offset becomes a per-channel complex DC term computed from the tap
+    sums (127.5 * sum(T') = sum(T_orig)) and subtracted from the packed
+    outputs. HBM ingest: 2 B/sample. Returns (C, nj) complex64."""
+    C, Kc, Q_ = Tre.shape
+    K1 = Kc * Q_
+    M = nj + Kc - 1
+    F = X2[: M * Q_].reshape(M, Q_, 2)
+    xr = F[..., 0]
+    xi = F[..., 1]
+    wr = jnp.concatenate([xr[c:c + nj] for c in range(Kc)], axis=1)
+    wi = jnp.concatenate([xi[c:c + nj] for c in range(Kc)], axis=1)
+    W = jnp.concatenate([wr, wi], axis=1).astype(jnp.float32)  # (nj, 2*K1)
+    Tr = Tre.reshape(C, K1).T
+    Ti = Tim.reshape(C, K1).T
+    TT = jnp.concatenate(
+        [jnp.concatenate([Tr, Ti], axis=1),
+         jnp.concatenate([-Ti, Tr], axis=1)], axis=0)  # (2*K1, 2*C)
+    Y = jnp.dot(W, TT, preferred_element_type=jnp.float32)
+    # wr_true = br/127.5 - 1, wi_true = bi/127.5 - 1 applied to the packed
+    # product: y_r -= sum(Tre) - sum(Tim); y_i -= sum(Tre) + sum(Tim)
+    # (original-tap sums; the taps here are pre-scaled by 1/127.5)
+    sre = jnp.float32(127.5) * jnp.sum(Tr, axis=0)      # (C,)
+    sim = jnp.float32(127.5) * jnp.sum(Ti, axis=0)
+    yr = Y[:, :C] - (sre - sim)[None, :]
+    yi = Y[:, C:] - (sre + sim)[None, :]
+    return (yr.T + 1j * yi.T).astype(jnp.complex64)
+
+
 def strided_cfir_matmul(X, Tre, Tim, Q: int, nj: int):
     """Multi-channel complex-taps strided FIR as blocked MXU matmuls
     (the receiver-bank front end: per-channel modulated taps, one shared

@@ -58,8 +58,9 @@ def _channelize_local(Ht, tail_local, x_local, os: int = 1):
     the os=2 odd-frame roll is parallel/channelizer.py _frontend_local,
     whose local frame parity matches global parity because every shard
     owns an even frame count when block_len % (C * n_shards) == 0).
-    Raw-int16 (N, 2) slices route through chains.channelizer.channelize_i16
-    (taps carry the 1/32767 scale; tail stays int16)."""
+    Raw wire-format (N, 2) slices (int16 or RTL-SDR uint8) route through
+    chains.channelizer.channelize_i16 (taps carry the wire scale; the
+    tail stays at wire width)."""
     if x_local.ndim == 2:
         from ..chains.channelizer import channelize_i16
         st, Y = channelize_i16(Ht, ChannelizerState(tail=tail_local),
@@ -174,11 +175,13 @@ class ShardedScanner:
         self._step = jax.jit(step)
 
     def __call__(self, iq):
-        if self.input_format == "i16":
+        if self.input_format in ("i16", "u8"):
+            want = jnp.int16 if self.input_format == "i16" else jnp.uint8
             iq = jnp.asarray(iq)
-            if iq.dtype != jnp.int16 or iq.ndim != 2 or iq.shape[1] != 2:
-                raise TypeError("input_format='i16' expects (N, 2) int16 "
-                                f"[re, im]; got {iq.dtype} {iq.shape}")
+            if iq.dtype != want or iq.ndim != 2 or iq.shape[1] != 2:
+                raise TypeError(
+                    f"input_format={self.input_format!r} expects (N, 2) "
+                    f"{want.__name__} [re, im]; got {iq.dtype} {iq.shape}")
         else:
             iq = jnp.asarray(iq, jnp.complex64)
         iq = jax.device_put(iq, NamedSharding(self.mesh, P(TIME_AXIS)))
