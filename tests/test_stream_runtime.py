@@ -159,3 +159,35 @@ def test_stream_runtime_raw_i16_passthrough_matches_converted():
     assert got.shape == want.shape
     err = np.abs(got - want).max()
     assert err < 1e-6 * max(1.0, np.abs(want).max()) + 1e-7, err
+
+
+def test_stream_runtime_raw_u8_passthrough_matches_converted():
+    """sample_format='uint8_raw' + AMReceiver(input_format='u8'): the
+    RTL-SDR zero-host-conversion pipeline must match the converting
+    'uint8' path (which feeds the c64 chain u8_to_iq samples)."""
+    n = 3 * BLOCK
+    t = np.arange(n)
+    msg = np.sin(2 * np.pi * 1000.0 / 2e6 * t)
+    iq = (1.0 + 0.5 * msg) * 0.3 * np.exp(2j * np.pi * 200.0 / 2e6 * t)
+    xs = np.empty(2 * n, np.uint8)
+    xs[0::2] = np.clip(np.round(iq.real * 127.5 * 0.9 + 127.5), 0, 255)
+    xs[1::2] = np.clip(np.round(iq.imag * 127.5 * 0.9 + 127.5), 0, 255)
+    raw = xs.tobytes()
+
+    rt_c = StreamRuntime(AMReceiver(AMConfig(), block_len=BLOCK),
+                         sample_format="uint8")
+    rt_c.push(raw)
+    rt_c.stop(drain=True)
+    want = np.concatenate(list(iter(rt_c)))
+
+    rt_u = StreamRuntime(AMReceiver(AMConfig(), block_len=BLOCK,
+                                    input_format="u8"),
+                         sample_format="uint8_raw")
+    rt_u.push(raw)
+    rt_u.stop(drain=True)
+    got = np.concatenate(list(iter(rt_u)))
+    assert got.shape == want.shape
+    # block 0 carries the documented half-LSB u8 tail-init transient
+    w, g = want[300:], got[300:]
+    err = np.abs(g - w).max()
+    assert err < 1e-5 * max(1.0, np.abs(w).max()), err

@@ -48,9 +48,10 @@ class StreamRuntime:
         compat-API composition wrapped in a function). ``block_len`` is
         taken from ``receiver.block_len`` unless given.
     sample_format: 'int16' (1/32767 scaling, reference utility.hpp:61-69),
-        'uint8' (RTL-SDR style), or 'int16_raw' (no host conversion: the
-        receiver gets the (N, 2) int16 wire samples — pair with a chain
-        built with input_format='i16' to halve host->device and HBM
+        'uint8' (RTL-SDR style), or the raw passthrough twins
+        'int16_raw' / 'uint8_raw' (no host conversion: the receiver gets
+        the (N, 2) wire samples — pair with a chain built with
+        input_format='i16'/'u8' for 2-4x less host->device and HBM
         ingest traffic).
     on_audio: optional callback ``on_audio(audio, meta)`` invoked on the
         pump thread per block (meta carries the block index and the
