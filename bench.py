@@ -220,6 +220,15 @@ def _bench_secondary(log, rate_stream):
     rows.append(dict(rate_stream("bank16_i16", partial(bank_step, cfg=cfg16),
                                  pi, si, xi, n, bytes_per_sample=4),
                      config=3))
+    pu, su = bbuild(cfg16, input_format="u8")
+    xu = jax.device_put(jnp.stack(
+        [jnp.asarray(np.clip(np.round(xn.real * 127.5 + 127.5), 0, 255),
+                     jnp.uint8),
+         jnp.asarray(np.clip(np.round(xn.imag * 127.5 + 127.5), 0, 255),
+                     jnp.uint8)], axis=1))
+    rows.append(dict(rate_stream("bank16_u8", partial(bank_step, cfg=cfg16),
+                                 pu, su, xu, n, bytes_per_sample=2),
+                     config=3))
 
     # config 4: 1024-channel channelized bank (c64 and raw-int16 ingest)
     from tpudsp.chains.channelizer import (
@@ -241,6 +250,15 @@ def _bench_secondary(log, rate_stream):
     rows.append(dict(rate_stream("channelized_1024ch_i16",
                                  partial(chstep, cfg=ccfg), cpi, csi, xci,
                                  nc, bytes_per_sample=4), config=4))
+    cpu_, csu = bank_build(ccfg, input_format="u8")
+    xcu = jax.device_put(jnp.stack(
+        [jnp.asarray(np.clip(np.round(xcn.real * 127.5 + 127.5), 0, 255),
+                     jnp.uint8),
+         jnp.asarray(np.clip(np.round(xcn.imag * 127.5 + 127.5), 0, 255),
+                     jnp.uint8)], axis=1))
+    rows.append(dict(rate_stream("channelized_1024ch_u8",
+                                 partial(chstep, cfg=ccfg), cpu_, csu, xcu,
+                                 nc, bytes_per_sample=2), config=4))
 
     # config 5 core: the wideband scanner on ONE chip (time axis = 1);
     # multi-chip scaling is measured by tpudsp.bench_scaling when a mesh
@@ -367,8 +385,14 @@ def main():
         _impl(sys.argv[sys.argv.index(_IMPL_FLAG) + 1])
         return
     here = os.path.dirname(os.path.abspath(__file__))
-    long = 1200 if "--all" in sys.argv else 480
-    attempts = [("default", long), ("default", 300), ("cpu", 900)]
+    # --all deadlines are generous on purpose: killing the TPU client
+    # mid-claim wedges the tunnel relay for its grant timeout (~10-30
+    # min), so the deadline must comfortably exceed the worst-case run
+    # (remote compiles of ~10 distinct programs + 5 timed repeats each)
+    if "--all" in sys.argv:
+        attempts = [("default", 2700), ("cpu", 1800)]
+    else:
+        attempts = [("default", 480), ("default", 300), ("cpu", 900)]
     for platform, deadline in attempts:
         try:
             extra = ["--all"] if "--all" in sys.argv else []
