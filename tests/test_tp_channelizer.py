@@ -156,3 +156,85 @@ def test_tp_channelizer_oversampled_matches_single_chip():
     Y = np.concatenate([sc(x[i:i + n]) for i in range(0, 2 * n, n)], axis=0)
     assert Y.shape == Y_ref.shape == (2 * 2 * n // C, C)
     assert snr_db(Y_ref, Y) > 110.0
+
+
+@pytest.mark.parametrize("fmt", ["i16", "u8"])
+def test_tp_channelizer_wire_format_matches_converted(fmt):
+    """ShardedChannelizer(input_format='i16'/'u8'): raw wire slices frame
+    at wire width on each shard (uint8/int16 boundary halo over ppermute;
+    u8's -127.5 offset subtracted per branch before the distributed FFT)
+    and must match the c64 sharded transform on converted input, streamed
+    across blocks."""
+    C = 64
+    cfg = ChannelizerConfig(nchan=C, taps_per_branch=6, iq_rate=6_400_000.0)
+    n = C * 64 * 8
+    x = _iq(2 * n, seed=9)
+    if fmt == "i16":
+        w = np.stack([np.round(x.real * 32767 * 0.5),
+                      np.round(x.imag * 32767 * 0.5)],
+                     axis=1).astype(np.int16)
+        c64 = ((w[:, 0] + 1j * w[:, 1]) / 32767.0).astype(np.complex64)
+    else:
+        w = np.stack([np.round(x.real * 127.5 + 127.5),
+                      np.round(x.imag * 127.5 + 127.5)],
+                     axis=1).clip(0, 255).astype(np.uint8)
+        c64 = ((w[:, 0] - 127.5) / 127.5
+               + 1j * (w[:, 1] - 127.5) / 127.5).astype(np.complex64)
+
+    mesh = make_mesh(1, 8)
+    s_c = ShardedChannelizer(cfg, mesh, block_len=n, axis_name="time")
+    s_w = ShardedChannelizer(cfg, mesh, block_len=n, axis_name="time",
+                             input_format=fmt)
+    for b in range(2):
+        Y_c = s_c(c64[b * n:(b + 1) * n])
+        Y_w = s_w(w[b * n:(b + 1) * n])
+        # block 0 carries u8's documented half-LSB tail-init transient in
+        # the first T-1 frames; skip them, then pin tight
+        skip = 8 if (fmt == "u8" and b == 0) else 0
+        got = snr_db(Y_c[skip:], Y_w[skip:])
+        assert got > 85.0, (fmt, b, got)
+
+
+@pytest.mark.parametrize("fmt", ["i16", "u8"])
+def test_tp_channelized_bank_wire_format_matches_converted(fmt):
+    """The full TP bank (distributed FFT + channel-sharded FM demod) on
+    raw wire input vs the single-chip ChannelizedBank on converted
+    input (layout permutation unwound)."""
+    from tpudsp.chains.channelizer import (
+        ChannelizedBank, ChannelizedBankConfig)
+    from tpudsp.parallel.channelizer import ShardedChannelizedBank
+
+    C = 64
+    iq_rate = 6_400_000.0
+    n = C * 64 * 8
+    t = np.arange(2 * n)
+    x = sum(np.exp(1j * (2 * np.pi * (c / C) * t
+                         + 2 * np.pi * 0.05 / C * np.cumsum(
+                             np.sin(2 * np.pi * 0.0005 * (i + 1) * t))))
+            for i, c in enumerate((7, 40))) / 2
+    if fmt == "i16":
+        w = np.stack([np.round(x.real * 32767 * 0.5),
+                      np.round(x.imag * 32767 * 0.5)],
+                     axis=1).astype(np.int16)
+        c64 = ((w[:, 0] + 1j * w[:, 1]) / 32767.0).astype(np.complex64)
+    else:
+        w = np.stack([np.round(x.real * 127.5 * 0.9 + 127.5),
+                      np.round(x.imag * 127.5 * 0.9 + 127.5)],
+                     axis=1).clip(0, 255).astype(np.uint8)
+        c64 = ((w[:, 0] - 127.5) / 127.5
+               + 1j * (w[:, 1] - 127.5) / 127.5).astype(np.complex64)
+
+    cfg = ChannelizedBankConfig(
+        channelizer=ChannelizerConfig(nchan=C, taps_per_branch=6,
+                                      iq_rate=iq_rate),
+        demod="fm", kd=0.25)
+    ref = ChannelizedBank(cfg, block_len=n)
+    tp = ShardedChannelizedBank(cfg, make_mesh(1, 8), block_len=n,
+                                axis_name="time", input_format=fmt)
+    for b, floor in enumerate((60.0, 85.0) if fmt == "u8" else (85.0, 85.0)):
+        y_ref = np.asarray(ref(c64[b * n:(b + 1) * n]))
+        y_tp = np.asarray(tp(w[b * n:(b + 1) * n]))
+        skip = 64 if (fmt == "u8" and b == 0) else 0
+        for ch in (7, 40):
+            got = snr_db(y_ref[ch, skip:], y_tp[ch, skip:])
+            assert got > floor, (fmt, b, ch, got)

@@ -90,25 +90,51 @@ def _frontend_local(Ht, halo_tail, x_loc, os: int = 1):
     rolling u by C/2 multiplies the post-IFFT channel c by (-1)^c) -- so
     the distributed two-stage FFT downstream needs no channel-indexed
     correction. Local frame parity equals global parity because every
-    shard owns an even frame count (block_len % (C * n_shards) == 0)."""
+    shard owns an even frame count (block_len % (C * n_shards) == 0).
+
+    Raw wire-format slices ((N_loc, 2) int16 or RTL-SDR uint8, with Ht
+    carrying the wire scale — chains/channelizer.py build) frame at wire
+    width and convert components at the FMA operand; the uint8 -127.5
+    offset is a per-branch constant subtracted after accumulation (and
+    before the os=2 roll, which therefore needs no correction)."""
     T, C = Ht.shape
     R = C // os
-    M_loc = (x_loc.shape[0] // C) * os
+    wire = x_loc.ndim == 2
+    n_loc = x_loc.shape[0]
+    M_loc = (n_loc // C) * os
     xfull = jnp.concatenate([halo_tail, x_loc])
     M_all = M_loc + os * (T - 1)
-    if os == 1:
-        V = xfull[: M_all * C].reshape(M_all, C)[:, ::-1]
+    if wire:
+        if os == 1:
+            V = xfull[: M_all * C].reshape(M_all, C, 2)[:, ::-1]
+        else:
+            B = xfull[: (M_all + 1) * R].reshape(M_all + 1, R, 2)
+            V = jnp.concatenate([B[:-1], B[1:]], axis=1)[:, ::-1]
+        ur = jnp.zeros((M_loc, C), jnp.float32)
+        ui = jnp.zeros((M_loc, C), jnp.float32)
+        for t in range(T):
+            sl = lax.dynamic_slice_in_dim(V, os * (T - 1 - t), M_loc, axis=0)
+            ur = ur + Ht[t][None, :] * sl[..., 0].astype(jnp.float32)
+            ui = ui + Ht[t][None, :] * sl[..., 1].astype(jnp.float32)
+        if x_loc.dtype == jnp.uint8:
+            dc = jnp.float32(127.5) * jnp.sum(Ht, axis=0)
+            ur = ur - dc[None, :]
+            ui = ui - dc[None, :]
+        u = ur + 1j * ui
     else:
-        B = xfull[: (M_all + 1) * R].reshape(M_all + 1, R)
-        V = jnp.concatenate([B[:-1], B[1:]], axis=1)[:, ::-1]
-    u = jnp.zeros((M_loc, C), jnp.complex64)
-    for t in range(T):
-        u = u + Ht[t][None, :] * lax.dynamic_slice_in_dim(
-            V, os * (T - 1 - t), M_loc, axis=0)
+        if os == 1:
+            V = xfull[: M_all * C].reshape(M_all, C)[:, ::-1]
+        else:
+            B = xfull[: (M_all + 1) * R].reshape(M_all + 1, R)
+            V = jnp.concatenate([B[:-1], B[1:]], axis=1)[:, ::-1]
+        u = jnp.zeros((M_loc, C), jnp.complex64)
+        for t in range(T):
+            u = u + Ht[t][None, :] * lax.dynamic_slice_in_dim(
+                V, os * (T - 1 - t), M_loc, axis=0)
     if os == 2:
         odd = (jnp.arange(M_loc) % 2)[:, None].astype(jnp.complex64)
         u = (1.0 - odd) * u + odd * jnp.roll(u, -(C // 2), axis=1)
-    return u
+    return u.astype(jnp.complex64)
 
 
 def tp_channelize_shard(Ht, tw, tail, x_loc, *, C1: int, C2: int,
@@ -124,7 +150,11 @@ def tp_channelize_shard(Ht, tw, tail, x_loc, *, C1: int, C2: int,
     T, C = Ht.shape
     htail = (T - 1) * C + C - 1
     n_shards = lax.axis_size(axis_name)
-    halo = left_halo(x_loc, htail, axis_name, tail)
+    if x_loc.ndim == 2:  # raw wire-format (N_loc, 2) slices
+        from .halo import left_halo_rows
+        halo = left_halo_rows(x_loc, htail, axis_name, tail)
+    else:
+        halo = left_halo(x_loc, htail, axis_name, tail)
     u = _frontend_local(Ht, halo, x_loc, os)              # (M_loc, C)
     M_loc = u.shape[0]
     u = u.reshape(M_loc, C1, C2)
@@ -154,7 +184,7 @@ class ShardedChannelizer:
 
     def __init__(self, cfg: ChannelizerConfig, mesh: Mesh,
                  block_len: int, axis_name: str | None = None,
-                 c1: int | None = None):
+                 c1: int | None = None, input_format: str = "c64"):
         if axis_name is None:
             axis_name = mesh.axis_names[0]
         n = mesh.shape[axis_name]
@@ -169,9 +199,10 @@ class ShardedChannelizer:
         self.mesh = mesh
         self.axis_name = axis_name
         self.block_len = block_len
+        self.input_format = input_format
         self.C1, self.C2 = _factor(C, n, c1)
         self.layout_perm = channel_layout(self.C1, self.C2)
-        self.Ht, st = ch_build(cfg)
+        self.Ht, st = ch_build(cfg, input_format)
         self.tail = st.tail
         c1g = np.arange(self.C1)[:, None]
         p2g = np.arange(self.C2)[None, :]
@@ -181,10 +212,13 @@ class ShardedChannelizer:
         body = partial(tp_channelize_shard, C1=self.C1, C2=self.C2,
                        axis_name=axis_name, os=cfg.oversample)
         A = axis_name
+        # wire-format tails are (htail, 2) -> gathered (n, htail, 2)
+        tail_out_spec = (P(A, None, None) if self.tail.ndim == 2
+                         else P(A, None))
         mapped = jax.shard_map(
             body, mesh=mesh,
             in_specs=(P(), P(None, A), P(), P(A)),
-            out_specs=(P(A, None), P(None, A, None)),
+            out_specs=(tail_out_spec, P(None, A, None)),
         )
 
         def step(Ht, tw, tail, x):
@@ -197,10 +231,20 @@ class ShardedChannelizer:
         """(Ht, tw, tail, x) -> (tail, Y (M, C1, C2) channel-sharded)."""
         return self._step
 
+    def _coerce(self, iq):
+        if self.input_format in ("i16", "u8"):
+            want = jnp.int16 if self.input_format == "i16" else jnp.uint8
+            iq = jnp.asarray(iq)
+            if iq.dtype != want or iq.ndim != 2 or iq.shape[1] != 2:
+                raise TypeError(
+                    f"input_format={self.input_format!r} expects (N, 2) "
+                    f"{want.__name__} [re, im]; got {iq.dtype} {iq.shape}")
+            return iq
+        return jnp.asarray(iq, jnp.complex64)
+
     def __call__(self, iq):
-        iq = jax.device_put(
-            jnp.asarray(iq, jnp.complex64),
-            NamedSharding(self.mesh, P(self.axis_name)))
+        iq = jax.device_put(self._coerce(iq),
+                            NamedSharding(self.mesh, P(self.axis_name)))
         self.tail, Y = self._step(self.Ht, self.tw, self.tail, iq)
         M = Y.shape[0]
         Yl = np.asarray(Y).reshape(M, self.cfg.nchan)
@@ -283,13 +327,16 @@ class ShardedChannelizedBank:
 
     def __init__(self, cfg: ChannelizedBankConfig, mesh: Mesh,
                  block_len: int, axis_name: str | None = None,
-                 c1: int | None = None):
+                 c1: int | None = None, input_format: str = "c64"):
         ccfg = cfg.channelizer
-        sc = ShardedChannelizer(ccfg, mesh, block_len, axis_name, c1)
+        sc = ShardedChannelizer(ccfg, mesh, block_len, axis_name, c1,
+                                input_format)
         self.cfg = cfg
         self.mesh = mesh
         self.axis_name = sc.axis_name
         self.block_len = block_len
+        self.input_format = input_format
+        self._coerce = sc._coerce
         self.C1, self.C2 = sc.C1, sc.C2
         self.layout_perm = sc.layout_perm
         b0, a = iirdes.deemphasis_coeffs(ccfg.chan_rate, cfg.deemph_tau)
@@ -326,6 +373,8 @@ class ShardedChannelizedBank:
         body = partial(tp_bank_shard, cfg=cfg, C1=self.C1, C2=self.C2,
                        axis_name=A)
         amb_spec = None if amb is None else jax.tree.map(lambda _: P(), amb)
+        tail_out_spec = (P(A, None, None) if self.state.tail.ndim == 2
+                         else P(A, None))
         mapped = jax.shard_map(
             body, mesh=mesh,
             in_specs=((P(), P(None, A), P(), P(), amb_spec),
@@ -333,7 +382,7 @@ class ShardedChannelizedBank:
                                   deemph=P(A, None),
                                   front=front_spec, dc=dc_spec),
                       P(A)),
-            out_specs=(TPBankState(tail=P(A, None), fd_prev=P(A, None),
+            out_specs=(TPBankState(tail=tail_out_spec, fd_prev=P(A, None),
                                    deemph=P(A, None),
                                    front=front_out, dc=dc_out),
                        P(A, None, None)),
@@ -350,9 +399,8 @@ class ShardedChannelizedBank:
         return self._step
 
     def __call__(self, iq):
-        iq = jax.device_put(
-            jnp.asarray(iq, jnp.complex64),
-            NamedSharding(self.mesh, P(self.axis_name)))
+        iq = jax.device_put(self._coerce(iq),
+                            NamedSharding(self.mesh, P(self.axis_name)))
         self.state, audio = self._step(self.params, self.state, iq)
         al = np.asarray(audio).reshape(self.C1 * self.C2, -1)
         out = np.empty_like(al)
