@@ -61,3 +61,40 @@ def test_sharded_am_rejects_undersized_blocks():
     re-derive entry states to spec -- the class must refuse it."""
     with pytest.raises(ValueError, match="warmup"):
         ShardedAMReceiver(AMConfig(), make_mesh(1, 8), block_len=500_000)
+
+
+@pytest.mark.parametrize("fmt", ["i16", "u8"])
+def test_sharded_am_wire_format_matches_converted(fmt):
+    """ShardedAMReceiver(input_format='i16'/'u8'): the kf-sample input
+    halo rides the ppermute at wire width and the conversion (plus u8's
+    per-phase DC subtraction) happens inside each shard's fused front
+    matmul; must match the c64 sharded receiver on converted input,
+    streamed across blocks."""
+    n = 2_000_000
+    iq = _am_iq(2 * n)
+    if fmt == "i16":
+        w = np.stack([np.round(iq.real * 32767 * 0.5),
+                      np.round(iq.imag * 32767 * 0.5)],
+                     axis=1).astype(np.int16)
+        c64 = ((w[:, 0] + 1j * w[:, 1]) / 32767.0).astype(np.complex64)
+    else:
+        w = np.stack([np.round(iq.real * 127.5 * 0.9 + 127.5),
+                      np.round(iq.imag * 127.5 * 0.9 + 127.5)],
+                     axis=1).clip(0, 255).astype(np.uint8)
+        c64 = ((w[:, 0] - 127.5) / 127.5
+               + 1j * (w[:, 1] - 127.5) / 127.5).astype(np.complex64)
+    cfg = AMConfig()
+    rx_c = ShardedAMReceiver(cfg, make_mesh(1, 8), block_len=n)
+    rx_w = ShardedAMReceiver(cfg, make_mesh(1, 8), block_len=n,
+                             input_format=fmt)
+    # u8 block 0 carries the documented half-LSB tail-init transient
+    floors = (50.0, 85.0) if fmt == "u8" else (85.0, 85.0)
+    for b, floor in enumerate(floors):
+        y_c = np.asarray(rx_c(c64[b * n:(b + 1) * n]))
+        y_w = np.asarray(rx_w(w[b * n:(b + 1) * n]))
+        got = snr_db(y_c, y_w)
+        assert got > floor, (fmt, b, got)
+
+    with pytest.raises(ValueError, match="async"):
+        ShardedAMReceiver(cfg, make_mesh(1, 8), block_len=n,
+                          input_format=fmt, halo="async")

@@ -109,3 +109,40 @@ def test_sharded_bank_streaming_state():
         [np.asarray(sb(iq[:n])), np.asarray(sb(iq[n:]))], axis=1)
     assert y.shape == y_ref.shape
     assert snr_db(y_ref, y) > 80.0
+
+
+@pytest.mark.parametrize("fmt", ["i16", "u8"])
+def test_sharded_bank_wire_format_matches_converted(fmt):
+    """ShardedBank(input_format='i16'/'u8') on a (channel, time) mesh:
+    the (K1-1)-sample input halo rides the ppermute at wire width; must
+    match the c64 sharded bank on converted input, streamed."""
+    fs = 2_400_000.0
+    cfg = BankConfig(freqs=(-500_000.0, 0.0, 400_000.0, 700_000.0),
+                     iq_rate=fs, demod="fm", kd=75_000.0 / 240_000.0)
+    n = 200_000
+    t = np.arange(2 * n)
+    x = sum(0.25 * np.exp(2j * np.pi * (f / fs) * t
+                          + 0.3j * np.sin(2 * np.pi * 0.001 * (i + 1) * t))
+            for i, f in enumerate(cfg.freqs))
+    if fmt == "i16":
+        w = np.stack([np.round(np.real(x) * 32767 * 0.5),
+                      np.round(np.imag(x) * 32767 * 0.5)],
+                     axis=1).astype(np.int16)
+        c64 = ((w[:, 0] + 1j * w[:, 1]) / 32767.0).astype(np.complex64)
+    else:
+        w = np.stack([np.round(np.real(x) * 127.5 * 0.5 + 127.5),
+                      np.round(np.imag(x) * 127.5 * 0.5 + 127.5)],
+                     axis=1).clip(0, 255).astype(np.uint8)
+        c64 = ((w[:, 0] - 127.5) / 127.5
+               + 1j * (w[:, 1] - 127.5) / 127.5).astype(np.complex64)
+
+    mesh = make_mesh(2, 4)
+    b_c = ShardedBank(cfg, mesh, block_len=n)
+    b_w = ShardedBank(cfg, mesh, block_len=n, input_format=fmt)
+    floors_skips = (((60.0, 64), (85.0, 0)) if fmt == "u8"
+                    else ((85.0, 0), (85.0, 0)))
+    for b, (floor, skip) in enumerate(floors_skips):
+        y_c = np.asarray(b_c(c64[b * n:(b + 1) * n]))
+        y_w = np.asarray(b_w(w[b * n:(b + 1) * n]))
+        got = snr_db(y_c[:, skip:], y_w[:, skip:])
+        assert got > floor, (fmt, b, got)

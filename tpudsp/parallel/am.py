@@ -59,7 +59,10 @@ class SAMState(NamedTuple):
 def _sharded_am_step(taps, amb, state: SAMState, iq_loc, *, offsets, Q: int,
                      nj_loc: int, warmup: int, b0: float, a: float,
                      halo: str = "ppermute"):
-    """shard_map body over the time axis. iq_loc: (N_loc,) local slice.
+    """shard_map body over the time axis. iq_loc: (N_loc,) local slice —
+    or (N_loc, 2) raw wire samples (int16/uint8, taps carrying the wire
+    scale; the kf-sample input halo then rides the ppermute at wire
+    width).
 
     halo='async' runs the fused front end through the compute-overlapped
     RDMA kernel (pallas/halo_async.py): the per-phase window offsets are
@@ -78,6 +81,16 @@ def _sharded_am_step(taps, amb, state: SAMState, iq_loc, *, offsets, Q: int,
         y48 = jnp.stack([yp[r] for r in range(yp.shape[0])],
                         axis=1).reshape(-1)
         new_tail = jnp.concatenate([state.rs_tail, iq_loc])[-kf:]
+    elif iq_loc.ndim == 2:  # raw wire-format slice
+        from .halo import left_halo_rows
+        tail_loc = left_halo_rows(iq_loc, kf, TIME_AXIS, state.rs_tail)
+        if iq_loc.dtype == jnp.uint8:
+            t, dc = taps  # u8 plan: (scaled taps, per-phase DC sums)
+            new_tail, y48 = kdec.fused_frontend_apply_shared_u8(
+                t, dc, tail_loc, iq_loc, Q, nj_loc)
+        else:
+            new_tail, y48 = kdec.fused_frontend_apply_shared_i16(
+                taps, tail_loc, iq_loc, Q, nj_loc)
     else:
         tail_loc = left_halo(iq_loc, kf, TIME_AXIS, state.rs_tail)
         new_tail, y48 = kdec.fused_frontend_apply_shared(
@@ -108,7 +121,7 @@ class ShardedAMReceiver:
 
     def __init__(self, cfg: AMConfig = AMConfig(), mesh: Mesh = None,
                  block_len: int = 1_000_000, halo: str = "ppermute",
-                 check_vma: bool = True):
+                 check_vma: bool = True, input_format: str = "c64"):
         from ..chains.am import _rational
         if mesh is None:
             raise ValueError("ShardedAMReceiver needs a mesh with a "
@@ -116,6 +129,13 @@ class ShardedAMReceiver:
         if halo not in ("ppermute", "async"):
             raise ValueError(f"unknown halo {halo!r} "
                              "(use 'ppermute' or 'async')")
+        if input_format not in ("c64", "i16", "u8"):
+            raise ValueError(f"unknown input_format {input_format!r} "
+                             "(use 'c64', 'i16' or 'u8')")
+        if input_format != "c64" and halo == "async":
+            raise ValueError("halo='async' runs the complex64 ring kernel; "
+                             "wire-format ingest uses halo='ppermute'")
+        self.input_format = input_format
         pq = _rational(cfg.rate)
         if pq is None:
             raise ValueError("time sharding needs a rational rate "
@@ -128,7 +148,7 @@ class ShardedAMReceiver:
         self.mesh = mesh
         self.block_len = block_len
         # reuse the single-chip build for taps and the fused plan
-        params, st0, n_out = am_build(cfg, block_len)
+        params, st0, n_out = am_build(cfg, block_len, input_format)
         self.n_out = n_out
         n_loc = block_len // T
         nj_loc = n_loc // Q
@@ -153,11 +173,13 @@ class ShardedAMReceiver:
             # stride-Q window grid; imaginary taps are zero (real filter)
             tre = jnp.asarray(params.taps_fused)
             self._taps = (tre, jnp.zeros_like(tre))
+        elif input_format == "u8":
+            self._taps = (params.taps_fused, params.u8_dc)
         else:
             self._taps = params.taps_fused
         self._amb = amb
         self.state = SAMState(
-            rs_tail=jnp.zeros((kf,), jnp.complex64),
+            rs_tail=st0.rs_tail,  # (kf,) c64 or (kf, 2) wire samples
             front=kab.FrontState(agc=kagc.agc_init(),
                                  pll=kab.PllState(jnp.float32(0.0),
                                                   jnp.float32(0.0))),
@@ -171,7 +193,8 @@ class ShardedAMReceiver:
             rs_tail=P(), front=jax.tree.map(lambda _: P(), self.state.front),
             dc=P(), deemph=P())
         state_out = SAMState(
-            rs_tail=P(TIME_AXIS, None),
+            rs_tail=(P(TIME_AXIS, None, None) if self.state.rs_tail.ndim == 2
+                     else P(TIME_AXIS, None)),
             front=jax.tree.map(lambda _: P(None, TIME_AXIS), self.state.front),
             dc=P(None, TIME_AXIS), deemph=P(None, TIME_AXIS))
         mapped = jax.shard_map(
@@ -197,7 +220,15 @@ class ShardedAMReceiver:
         self._step = jax.jit(step)
 
     def __call__(self, iq):
-        iq = jax.device_put(jnp.asarray(iq, jnp.complex64),
-                            NamedSharding(self.mesh, P(TIME_AXIS)))
+        if self.input_format in ("i16", "u8"):
+            want = jnp.int16 if self.input_format == "i16" else jnp.uint8
+            iq = jnp.asarray(iq)
+            if iq.dtype != want or iq.ndim != 2 or iq.shape[1] != 2:
+                raise TypeError(
+                    f"input_format={self.input_format!r} expects (N, 2) "
+                    f"{want.__name__} [re, im]; got {iq.dtype} {iq.shape}")
+        else:
+            iq = jnp.asarray(iq, jnp.complex64)
+        iq = jax.device_put(iq, NamedSharding(self.mesh, P(TIME_AXIS)))
         self.state, pcm = self._step(self._taps, self._amb, self.state, iq)
         return pcm

@@ -154,6 +154,16 @@ def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConf
             iq, state.in_tail, params.taps_re, params.taps_im, D1, nj1,
             TIME_AXIS, lax.axis_size(TIME_AXIS), interpret=not enabled())
         X = jnp.concatenate([state.in_tail, iq])  # only the tail is used
+    elif iq.ndim == 2:  # raw wire-format (N_loc, 2) slice
+        from .halo import left_halo_rows
+        halo_in = left_halo_rows(iq, K1 - 1, TIME_AXIS, state.in_tail)
+        X = jnp.concatenate([halo_in, iq])
+        if iq.dtype == jnp.uint8:
+            y1m = kdec.strided_cfir_matmul_wide_u8(
+                X, params.taps_re, params.taps_im, D1, nj1)
+        else:
+            y1m = kdec.strided_cfir_matmul_wide_i16(
+                X, params.taps_re, params.taps_im, D1, nj1)
     else:
         halo_in = _left_halo_1d(iq, K1 - 1, state.in_tail)
         X = jnp.concatenate([halo_in, iq])
@@ -258,7 +268,8 @@ class ShardedBank:
     single-chip chains/bank.py bank_step exactly (tested)."""
 
     def __init__(self, cfg: BankConfig, mesh: Mesh, block_len: int,
-                 halo: str = "ppermute", check_vma: bool = True):
+                 halo: str = "ppermute", check_vma: bool = True,
+                 input_format: str = "c64"):
         """check_vma: leave shard_map's replication checking ON (default).
         The one legitimate reason to disable it: pinning halo='async'
         END-TO-END in interpret mode on CPU, where jax's pallas discharge
@@ -272,6 +283,12 @@ class ShardedBank:
         if halo not in ("ppermute", "async"):
             raise ValueError(f"unknown halo {halo!r} "
                              "(use 'ppermute' or 'async')")
+        if input_format not in ("c64", "i16", "u8"):
+            raise ValueError(f"unknown input_format {input_format!r} "
+                             "(use 'c64', 'i16' or 'u8')")
+        if input_format != "c64" and halo == "async":
+            raise ValueError("halo='async' runs the complex64 ring kernel; "
+                             "wire-format ingest uses halo='ppermute'")
         if cfg.am_coherent and cfg.demod != "am":
             raise NotImplementedError(
                 "sharded am_coherent needs a uniform demod='am' bank "
@@ -291,7 +308,8 @@ class ShardedBank:
         self.cfg = cfg
         self.mesh = mesh
         self.block_len = block_len
-        self.params, self.state = build(cfg)
+        self.input_format = input_format
+        self.params, self.state = build(cfg, input_format)
 
         coherent = cfg.am_coherent and cfg.demod == "am"
         front_spec = dc_spec = None
@@ -326,7 +344,10 @@ class ShardedBank:
             body, mesh=mesh,
             in_specs=(param_specs, state_specs, P(TIME_AXIS)),
             out_specs=(BankState(
-                in_tail=P(TIME_AXIS, None), phase=P(CA), n0=P(),
+                in_tail=(P(TIME_AXIS, None, None)
+                         if self.state.in_tail.ndim == 2
+                         else P(TIME_AXIS, None)),
+                phase=P(CA), n0=P(),
                 fd_prev=P(CA, TIME_AXIS),
                 a_tail=P(CA, TIME_AXIS, None),
                 deemph=P(CA, TIME_AXIS),
@@ -356,9 +377,15 @@ class ShardedBank:
         self._step = jax.jit(step)
 
     def __call__(self, iq):
-        iq = jax.device_put(
-            jnp.asarray(iq, jnp.complex64),
-            NamedSharding(self.mesh, P(TIME_AXIS)),
-        )
+        if self.input_format in ("i16", "u8"):
+            want = jnp.int16 if self.input_format == "i16" else jnp.uint8
+            iq = jnp.asarray(iq)
+            if iq.dtype != want or iq.ndim != 2 or iq.shape[1] != 2:
+                raise TypeError(
+                    f"input_format={self.input_format!r} expects (N, 2) "
+                    f"{want.__name__} [re, im]; got {iq.dtype} {iq.shape}")
+        else:
+            iq = jnp.asarray(iq, jnp.complex64)
+        iq = jax.device_put(iq, NamedSharding(self.mesh, P(TIME_AXIS)))
         self.state, audio = self._step(self.params, self.state, iq)
         return audio
