@@ -121,11 +121,27 @@ def _make_rate_stream(log, hbm_peak):
 
             return lax.fori_loop(0, iters, body, (st, salt))
 
+        import numpy as np
         _, acc = jax.block_until_ready(many(params, state0, x,
                                             jnp.float32(-1.0)))
-        if not bool(jnp.isfinite(acc)):
-            raise RuntimeError(f"{name}: non-finite audio accumulator "
-                               "(chain produced NaN/Inf under bench)")
+        # np.asarray is a pure device->host transfer: NO eager op may run
+        # here (the axon relay serves compiled programs; per-op eager
+        # compiles fail UNIMPLEMENTED). The relay also has a partial-wedge
+        # mode where execution works but EVERY d2h transfer fails
+        # UNIMPLEMENTED; timing needs no d2h (block_until_ready + host
+        # clocks), so in that state the run proceeds and the row records
+        # the skipped check instead of silently passing it.
+        finite_check = "ok"
+        try:
+            if not bool(np.isfinite(np.asarray(acc))):
+                raise RuntimeError(f"{name}: non-finite audio accumulator "
+                                   "(chain produced NaN/Inf under bench)")
+        except Exception as e:
+            if "UNIMPLEMENTED" not in str(e):
+                raise
+            finite_check = "skipped: d2h transfer UNIMPLEMENTED (relay " \
+                           "partial-wedge; execution verified complete)"
+            log(f"{name}: WARNING {finite_check}")
         times = []
         for r in range(repeats):
             t0 = time.perf_counter()
@@ -147,6 +163,7 @@ def _make_rate_stream(log, hbm_peak):
             "ms_per_block_median": round(median * 1e3, 4),
             "ms_per_block_best": round(times[0] * 1e3, 4),
             "spread_pct": round(100.0 * spread, 1),
+            "finite_check": finite_check,
             "implied_input_GB_per_s": round(implied / 1e9, 1),
             "hbm_peak_GB_per_s": (round(hbm_peak / 1e9, 1)
                                   if hbm_peak else None),
@@ -180,9 +197,9 @@ def _bench_secondary(log, rate_stream):
 
     def noise_iq(n, seed=0, scale=0.1):
         rng = np.random.default_rng(seed)
-        return jax.device_put(jnp.asarray(
-            (rng.standard_normal(n) + 1j * rng.standard_normal(n)
-             ).astype(np.complex64) * scale))
+        return jax.device_put(
+            ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+             * scale).astype(np.complex64))
 
     from tpudsp.chains.bank import BankConfig, build as bbuild, bank_step
 
@@ -212,20 +229,18 @@ def _bench_secondary(log, rate_stream):
                                  p, s, x, n), config=3))
     pi, si = bbuild(cfg16, input_format="i16")
     xn = np.asarray(x)
-    xi = jax.device_put(jnp.stack(
-        [jnp.asarray(np.clip(np.round(xn.real * 32767), -32767, 32767),
-                     jnp.int16),
-         jnp.asarray(np.clip(np.round(xn.imag * 32767), -32767, 32767),
-                     jnp.int16)], axis=1))
+    xi = jax.device_put(np.stack(
+        [np.clip(np.round(xn.real * 32767), -32767, 32767),
+         np.clip(np.round(xn.imag * 32767), -32767, 32767)],
+        axis=1).astype(np.int16))
     rows.append(dict(rate_stream("bank16_i16", partial(bank_step, cfg=cfg16),
                                  pi, si, xi, n, bytes_per_sample=4),
                      config=3))
     pu, su = bbuild(cfg16, input_format="u8")
-    xu = jax.device_put(jnp.stack(
-        [jnp.asarray(np.clip(np.round(xn.real * 127.5 + 127.5), 0, 255),
-                     jnp.uint8),
-         jnp.asarray(np.clip(np.round(xn.imag * 127.5 + 127.5), 0, 255),
-                     jnp.uint8)], axis=1))
+    xu = jax.device_put(np.stack(
+        [np.clip(np.round(xn.real * 127.5 + 127.5), 0, 255),
+         np.clip(np.round(xn.imag * 127.5 + 127.5), 0, 255),
+         ], axis=1).astype(np.uint8))
     rows.append(dict(rate_stream("bank16_u8", partial(bank_step, cfg=cfg16),
                                  pu, su, xu, n, bytes_per_sample=2),
                      config=3))
@@ -242,20 +257,18 @@ def _bench_secondary(log, rate_stream):
                      config=4))
     cpi, csi = bank_build(ccfg, input_format="i16")
     xcn = np.asarray(xc)
-    xci = jax.device_put(jnp.stack(
-        [jnp.asarray(np.clip(np.round(xcn.real * 32767), -32767, 32767),
-                     jnp.int16),
-         jnp.asarray(np.clip(np.round(xcn.imag * 32767), -32767, 32767),
-                     jnp.int16)], axis=1))
+    xci = jax.device_put(np.stack(
+        [np.clip(np.round(xcn.real * 32767), -32767, 32767),
+         np.clip(np.round(xcn.imag * 32767), -32767, 32767),
+         ], axis=1).astype(np.int16))
     rows.append(dict(rate_stream("channelized_1024ch_i16",
                                  partial(chstep, cfg=ccfg), cpi, csi, xci,
                                  nc, bytes_per_sample=4), config=4))
     cpu_, csu = bank_build(ccfg, input_format="u8")
-    xcu = jax.device_put(jnp.stack(
-        [jnp.asarray(np.clip(np.round(xcn.real * 127.5 + 127.5), 0, 255),
-                     jnp.uint8),
-         jnp.asarray(np.clip(np.round(xcn.imag * 127.5 + 127.5), 0, 255),
-                     jnp.uint8)], axis=1))
+    xcu = jax.device_put(np.stack(
+        [np.clip(np.round(xcn.real * 127.5 + 127.5), 0, 255),
+         np.clip(np.round(xcn.imag * 127.5 + 127.5), 0, 255),
+         ], axis=1).astype(np.uint8))
     rows.append(dict(rate_stream("channelized_1024ch_u8",
                                  partial(chstep, cfg=ccfg), cpu_, csu, xcu,
                                  nc, bytes_per_sample=2), config=4))
@@ -298,7 +311,7 @@ def _impl(platform: str):
     msg = np.sin(2 * np.pi * 1000.0 / cfg.iq_rate * t)
     iq = ((1.0 + 0.5 * msg) * 0.3
           * np.exp(2j * np.pi * 200.0 / cfg.iq_rate * t)).astype(np.complex64)
-    iq_j = jax.device_put(jnp.asarray(iq))
+    iq_j = jax.device_put(iq)
 
     rate_stream = _make_rate_stream(log, hbm_peak)
     row = rate_stream(f"am_chain_fused[{dev.platform}]",
@@ -322,9 +335,9 @@ def _impl(platform: str):
     # tests/test_chains.py::test_am_receiver_raw_i16_input_matches_converted.
     try:
         params_i, state_i, _ = build(cfg, block, input_format="i16")
-        i16 = jax.device_put(jnp.stack(
-            [jnp.asarray(np.round(iq.real * 32767), jnp.int16),
-             jnp.asarray(np.round(iq.imag * 32767), jnp.int16)], axis=1))
+        i16 = jax.device_put(np.stack(
+            [np.round(iq.real * 32767),
+             np.round(iq.imag * 32767)], axis=1).astype(np.int16))
         row_i = rate_stream("am_chain_fused_i16",
                             partial(am_step_fused, cfg=cfg, exact=False),
                             params_i, state_i, i16, block,
@@ -338,11 +351,10 @@ def _impl(platform: str):
     # ceiling; pinned by test_am_receiver_raw_u8_input_matches_converted
     try:
         params_u, state_u, _ = build(cfg, block, input_format="u8")
-        u8 = jax.device_put(jnp.stack(
-            [jnp.asarray(np.clip(np.round(iq.real * 127.5 + 127.5), 0, 255),
-                         jnp.uint8),
-             jnp.asarray(np.clip(np.round(iq.imag * 127.5 + 127.5), 0, 255),
-                         jnp.uint8)], axis=1))
+        u8 = jax.device_put(np.stack(
+            [np.clip(np.round(iq.real * 127.5 + 127.5), 0, 255),
+             np.clip(np.round(iq.imag * 127.5 + 127.5), 0, 255),
+             ], axis=1).astype(np.uint8))
         row_u = rate_stream("am_chain_fused_u8",
                             partial(am_step_fused, cfg=cfg, exact=False),
                             params_u, state_u, u8, block,
