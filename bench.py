@@ -185,9 +185,11 @@ def _make_rate_stream(log, hbm_peak):
     return rate_stream
 
 
-def _bench_secondary(log, rate_stream):
+def _bench_secondary(log, rate_stream, small: bool = False):
     """BASELINE configs 2-5 on non-zero synthetic signals. Returns a list
-    of row dicts (raises on any config failure)."""
+    of row dicts (raises on any config failure). small=True shrinks the
+    blocks (CPU fallback: the point there is a complete artifact within
+    the deadline, not a competitive number)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -206,7 +208,7 @@ def _bench_secondary(log, rate_stream):
     # config 2: WBFM broadcast at 2.4 Msps -- mono (single-channel fm
     # bank, wrapper.cpp:265 rates scaled to the 2.4M input) and stereo
     # (600k composite decode + 48k two-phase decimation)
-    n2 = 2_000_000  # keeps the stereo composite scans at 500k samples
+    n2 = 500_000 if small else 2_000_000  # stereo scans stay integral
     x2 = noise_iq(n2, seed=2)
     cfg_m = BankConfig(freqs=(0.0,), iq_rate=2_400_000.0, demod="fm",
                        decim1=10, decim2=5, kd=75_000.0 / 240_000.0)
@@ -223,7 +225,7 @@ def _bench_secondary(log, rate_stream):
     cfg16 = BankConfig(freqs=tuple(float(f) for f in
                                    np.linspace(-1e6, 1e6, 16, endpoint=False)))
     p, s = bbuild(cfg16)
-    n = 8_000_000
+    n = 2_000_000 if small else 8_000_000
     x = noise_iq(n, seed=3)
     rows.append(dict(rate_stream("bank16", partial(bank_step, cfg=cfg16),
                                  p, s, x, n), config=3))
@@ -250,7 +252,7 @@ def _bench_secondary(log, rate_stream):
         ChannelizedBankConfig, bank_build, bank_step as chstep)
     ccfg = ChannelizedBankConfig()
     cp, cs = bank_build(ccfg)
-    nc = 1024 * 16384
+    nc = 1024 * (2048 if small else 16384)
     xc = noise_iq(nc, seed=4)
     rows.append(dict(rate_stream("channelized_1024ch",
                                  partial(chstep, cfg=ccfg), cp, cs, xc, nc),
@@ -304,7 +306,8 @@ def _impl(platform: str):
     cfg = AMConfig()
     # 8 s of IQ at 2 Msps (128 MB on device; block*rate = 384000 outputs):
     # large blocks amortize dispatch until the chain is HBM-bandwidth-bound
-    block = 16_000_000
+    cpu_fallback = dev.platform != "tpu"
+    block = 2_000_000 if cpu_fallback else 16_000_000
     params, state, n_out = build(cfg, block)
 
     t = np.arange(block)
@@ -314,6 +317,9 @@ def _impl(platform: str):
     iq_j = jax.device_put(iq)
 
     rate_stream = _make_rate_stream(log, hbm_peak)
+    if cpu_fallback:
+        from functools import partial as _p
+        rate_stream = _p(rate_stream, iters=3, repeats=3)
     row = rate_stream(f"am_chain_fused[{dev.platform}]",
                       partial(am_step_fused, cfg=cfg, exact=False),
                       params, state, iq_j, block)
@@ -366,7 +372,7 @@ def _impl(platform: str):
 
     rows = [dict(row, config=1)]
     if "--all" in sys.argv:
-        rows += _bench_secondary(log, rate_stream)
+        rows += _bench_secondary(log, rate_stream, small=cpu_fallback)
         for r in rows:
             r.update(platform=str(dev.platform),
                      device_kind=str(dev.device_kind),
