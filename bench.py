@@ -197,11 +197,24 @@ def _bench_secondary(log, rate_stream, small: bool = False):
 
     rows = []
 
+    # All inputs are generated ON DEVICE (jitted synthesis/PRNG) and the
+    # wire-format variants are derived on device too: the relay rejects
+    # large host<->device transfers, and a throughput bench needs none.
     def noise_iq(n, seed=0, scale=0.1):
-        rng = np.random.default_rng(seed)
-        return jax.device_put(
-            ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
-             * scale).astype(np.complex64))
+        def g(key):
+            kr, ki = jax.random.split(key)
+            return (scale * (jax.random.normal(kr, (n,), jnp.float32)
+                             + 1j * jax.random.normal(ki, (n,), jnp.float32))
+                    ).astype(jnp.complex64)
+        return jax.block_until_ready(jax.jit(g)(jax.random.PRNGKey(seed)))
+
+    to_i16 = jax.jit(lambda v: jnp.stack(
+        [jnp.clip(jnp.round(v.real * 32767), -32767, 32767),
+         jnp.clip(jnp.round(v.imag * 32767), -32767, 32767)],
+        axis=1).astype(jnp.int16))
+    to_u8 = jax.jit(lambda v: jnp.clip(
+        jnp.round(jnp.stack([v.real, v.imag], axis=1) * 127.5 + 127.5),
+        0, 255).astype(jnp.uint8))
 
     from tpudsp.chains.bank import BankConfig, build as bbuild, bank_step
 
@@ -230,19 +243,12 @@ def _bench_secondary(log, rate_stream, small: bool = False):
     rows.append(dict(rate_stream("bank16", partial(bank_step, cfg=cfg16),
                                  p, s, x, n), config=3))
     pi, si = bbuild(cfg16, input_format="i16")
-    xn = np.asarray(x)
-    xi = jax.device_put(np.stack(
-        [np.clip(np.round(xn.real * 32767), -32767, 32767),
-         np.clip(np.round(xn.imag * 32767), -32767, 32767)],
-        axis=1).astype(np.int16))
+    xi = to_i16(x)
     rows.append(dict(rate_stream("bank16_i16", partial(bank_step, cfg=cfg16),
                                  pi, si, xi, n, bytes_per_sample=4),
                      config=3))
     pu, su = bbuild(cfg16, input_format="u8")
-    xu = jax.device_put(np.stack(
-        [np.clip(np.round(xn.real * 127.5 + 127.5), 0, 255),
-         np.clip(np.round(xn.imag * 127.5 + 127.5), 0, 255),
-         ], axis=1).astype(np.uint8))
+    xu = to_u8(x)
     rows.append(dict(rate_stream("bank16_u8", partial(bank_step, cfg=cfg16),
                                  pu, su, xu, n, bytes_per_sample=2),
                      config=3))
@@ -258,19 +264,12 @@ def _bench_secondary(log, rate_stream, small: bool = False):
                                  partial(chstep, cfg=ccfg), cp, cs, xc, nc),
                      config=4))
     cpi, csi = bank_build(ccfg, input_format="i16")
-    xcn = np.asarray(xc)
-    xci = jax.device_put(np.stack(
-        [np.clip(np.round(xcn.real * 32767), -32767, 32767),
-         np.clip(np.round(xcn.imag * 32767), -32767, 32767),
-         ], axis=1).astype(np.int16))
+    xci = to_i16(xc)
     rows.append(dict(rate_stream("channelized_1024ch_i16",
                                  partial(chstep, cfg=ccfg), cpi, csi, xci,
                                  nc, bytes_per_sample=4), config=4))
     cpu_, csu = bank_build(ccfg, input_format="u8")
-    xcu = jax.device_put(np.stack(
-        [np.clip(np.round(xcn.real * 127.5 + 127.5), 0, 255),
-         np.clip(np.round(xcn.imag * 127.5 + 127.5), 0, 255),
-         ], axis=1).astype(np.uint8))
+    xcu = to_u8(xc)
     rows.append(dict(rate_stream("channelized_1024ch_u8",
                                  partial(chstep, cfg=ccfg), cpu_, csu, xcu,
                                  nc, bytes_per_sample=2), config=4))
@@ -310,11 +309,19 @@ def _impl(platform: str):
     block = 2_000_000 if cpu_fallback else 16_000_000
     params, state, n_out = build(cfg, block)
 
-    t = np.arange(block)
-    msg = np.sin(2 * np.pi * 1000.0 / cfg.iq_rate * t)
-    iq = ((1.0 + 0.5 * msg) * 0.3
-          * np.exp(2j * np.pi * 200.0 / cfg.iq_rate * t)).astype(np.complex64)
-    iq_j = jax.device_put(iq)
+    # AM test signal synthesized ON DEVICE (the relay rejects large
+    # host->device transfers; the bench performs none beyond params)
+    def _gen_iq(_):
+        t = jnp.arange(block, dtype=jnp.float32)
+        msg = jnp.sin(2 * jnp.pi * 1000.0 / cfg.iq_rate * t)
+        ph = 2 * jnp.pi * 200.0 / cfg.iq_rate * t
+        return ((1.0 + 0.5 * msg) * 0.3
+                * jnp.exp(1j * ph)).astype(jnp.complex64)
+
+    iq_j = jax.block_until_ready(jax.jit(_gen_iq)(0))
+    _wire = jax.jit(lambda v, sc, off, lo, hi, dt: jnp.clip(
+        jnp.round(jnp.stack([v.real, v.imag], axis=1) * sc + off),
+        lo, hi).astype(dt), static_argnums=(5,))
 
     rate_stream = _make_rate_stream(log, hbm_peak)
     if cpu_fallback:
@@ -341,9 +348,7 @@ def _impl(platform: str):
     # tests/test_chains.py::test_am_receiver_raw_i16_input_matches_converted.
     try:
         params_i, state_i, _ = build(cfg, block, input_format="i16")
-        i16 = jax.device_put(np.stack(
-            [np.round(iq.real * 32767),
-             np.round(iq.imag * 32767)], axis=1).astype(np.int16))
+        i16 = _wire(iq_j, 32767.0, 0.0, -32767, 32767, jnp.int16)
         row_i = rate_stream("am_chain_fused_i16",
                             partial(am_step_fused, cfg=cfg, exact=False),
                             params_i, state_i, i16, block,
@@ -357,10 +362,7 @@ def _impl(platform: str):
     # ceiling; pinned by test_am_receiver_raw_u8_input_matches_converted
     try:
         params_u, state_u, _ = build(cfg, block, input_format="u8")
-        u8 = jax.device_put(np.stack(
-            [np.clip(np.round(iq.real * 127.5 + 127.5), 0, 255),
-             np.clip(np.round(iq.imag * 127.5 + 127.5), 0, 255),
-             ], axis=1).astype(np.uint8))
+        u8 = _wire(iq_j, 127.5, 127.5, 0, 255, jnp.uint8)
         row_u = rate_stream("am_chain_fused_u8",
                             partial(am_step_fused, cfg=cfg, exact=False),
                             params_u, state_u, u8, block,
