@@ -78,3 +78,52 @@ def test_pipeline_flush_resets_stream():
     ref = [fresh(iq[:block]), fresh(iq[block:]), fresh.flush()]
     want = np.concatenate([np.asarray(p) for p in ref[1:]])
     np.testing.assert_array_equal(got, want)
+
+
+def test_pipeline_wire_format_matches_converted():
+    """PipelinedAMReceiver(input_format='i16'/'u8'): only stage 0 touches
+    wire samples (conversion inside its fused matmul; the inter-stage
+    activation stays complex64); output must match the c64 pipeline on
+    converted input. flush() drains with a wire-format zero block."""
+    import pytest
+
+    cfg = AMConfig()
+    block = 125_000
+    n_blocks = 3
+    iq = _am_iq(n_blocks * block, cfg)
+
+    for fmt in ("i16", "u8"):
+        if fmt == "i16":
+            w = np.stack([np.round(iq.real * 32767 * 0.5),
+                          np.round(iq.imag * 32767 * 0.5)],
+                         axis=1).astype(np.int16)
+            c64 = ((w[:, 0] + 1j * w[:, 1]) / 32767.0).astype(np.complex64)
+        else:
+            w = np.stack([np.round(iq.real * 127.5 * 0.9 + 127.5),
+                          np.round(iq.imag * 127.5 * 0.9 + 127.5)],
+                         axis=1).clip(0, 255).astype(np.uint8)
+            c64 = ((w[:, 0] - 127.5) / 127.5
+                   + 1j * (w[:, 1] - 127.5) / 127.5).astype(np.complex64)
+
+        ref = PipelinedAMReceiver(cfg, block_len=block,
+                                  mesh=make_stage_mesh())
+        pw = PipelinedAMReceiver(cfg, block_len=block,
+                                 mesh=make_stage_mesh(), input_format=fmt)
+        outs_r, outs_w = [], []
+        for i in range(n_blocks):
+            r = ref(c64[i * block:(i + 1) * block])
+            v = pw(w[i * block:(i + 1) * block])
+            if i:
+                outs_r.append(np.asarray(r))
+                outs_w.append(np.asarray(v))
+        outs_r.append(np.asarray(ref.flush()))
+        outs_w.append(np.asarray(pw.flush()))
+        y_r = np.concatenate(outs_r)
+        y_w = np.concatenate(outs_w)
+        # u8's half-LSB tail init rings the first fused window only
+        skip = 64 if fmt == "u8" else 0
+        got = snr_db(y_r[skip:], y_w[skip:])
+        assert got > (60.0 if fmt == "u8" else 85.0), (fmt, got)
+
+        with pytest.raises(TypeError, match="expects"):
+            pw(c64[:block])

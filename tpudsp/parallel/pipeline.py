@@ -77,7 +77,15 @@ def pipeline_step(params: AMParams, state: AMPipeState, iq, valid, *,
     rs_tail = state.rs_tail[0]
 
     def front():
-        # taps come offset-folded from chains/am.build (fold_offsets)
+        # taps come offset-folded from chains/am.build (fold_offsets);
+        # wire-format feeds ((N, 2) int16/uint8) convert inside the
+        # stage-0 matmul, so only stage 0 ever touches wire samples
+        if iq.ndim == 2 and iq.dtype == jnp.uint8:
+            return kdec.fused_frontend_apply_shared_u8(
+                params.taps_fused, params.u8_dc, rs_tail, iq, Q, nj)
+        if iq.ndim == 2:
+            return kdec.fused_frontend_apply_shared_i16(
+                params.taps_fused, rs_tail, iq, Q, nj)
         return kdec.fused_frontend_apply_shared(
             params.taps_fused, rs_tail, iq, Q, nj)
 
@@ -131,13 +139,15 @@ class PipelinedAMReceiver:
 
     def __init__(self, cfg: AMConfig = AMConfig(), block_len: int = 1_000_000,
                  mesh: Mesh | None = None, exact: bool = False,
-                 backend: str = "xla"):
+                 backend: str = "xla", input_format: str = "c64"):
         if _rational(cfg.rate) is None:
             raise ValueError("pipelined receiver needs a rational rate")
         self.cfg = cfg
         self.block_len = int(block_len)
+        self.input_format = input_format
         self.mesh = mesh if mesh is not None else make_stage_mesh()
-        self.params, self._st0, self.n_out = build(cfg, self.block_len)
+        self.params, self._st0, self.n_out = build(cfg, self.block_len,
+                                                   input_format)
         self.reset()
 
         stage_specs = jax.tree.map(
@@ -152,7 +162,15 @@ class PipelinedAMReceiver:
         self._step = jax.jit(mapped)
 
     def __call__(self, iq):
-        iq = jnp.asarray(iq, jnp.complex64)
+        if self.input_format in ("i16", "u8"):
+            want = jnp.int16 if self.input_format == "i16" else jnp.uint8
+            iq = jnp.asarray(iq)
+            if iq.dtype != want or iq.ndim != 2 or iq.shape[1] != 2:
+                raise TypeError(
+                    f"input_format={self.input_format!r} expects (N, 2) "
+                    f"{want.__name__} [re, im]; got {iq.dtype} {iq.shape}")
+        else:
+            iq = jnp.asarray(iq, jnp.complex64)
         if iq.shape[0] != self.block_len:
             raise ValueError(f"expected block of {self.block_len} samples")
         valid = jnp.asarray(self._fed >= 1)
@@ -182,7 +200,13 @@ class PipelinedAMReceiver:
         start the next stream with plain __call__s."""
         if self._fed == 0:
             return None
-        zeros = jnp.zeros((self.block_len,), jnp.complex64)
+        if self.input_format == "i16":
+            zeros = jnp.zeros((self.block_len, 2), jnp.int16)
+        elif self.input_format == "u8":
+            # 127 ~ zero signal to within half an LSB
+            zeros = jnp.full((self.block_len, 2), 127, jnp.uint8)
+        else:
+            zeros = jnp.zeros((self.block_len,), jnp.complex64)
         _, pcm = self._step(self.params, self.state, zeros,
                             jnp.asarray(True))
         self.reset()
