@@ -122,15 +122,22 @@ def _make_rate_stream(log, hbm_peak):
             return lax.fori_loop(0, iters, body, (st, salt))
 
         import numpy as np
-        _, acc = jax.block_until_ready(many(params, state0, x,
-                                            jnp.float32(-1.0)))
-        # np.asarray is a pure device->host transfer: NO eager op may run
-        # here (the axon relay serves compiled programs; per-op eager
-        # compiles fail UNIMPLEMENTED). The relay also has a partial-wedge
-        # mode where execution works but EVERY d2h transfer fails
-        # UNIMPLEMENTED; timing needs no d2h (block_until_ready + host
-        # clocks), so in that state the run proceeds and the row records
-        # the skipped check instead of silently passing it.
+        # EVERY host->device constant is created up front: after a big
+        # execution the relay can enter a partial-wedge where new eager
+        # requests and d2h transfers fail UNIMPLEMENTED while already-
+        # compiled executions (and their block_until_ready syncs) keep
+        # working -- so the timed loop must need nothing but dispatches.
+        salts = [jnp.float32(float(r)) for r in range(-1, repeats)]
+        _, acc = jax.block_until_ready(many(params, state0, x, salts[0]))
+        times = []
+        for r in range(repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(many(params, state0, x, salts[r + 1]))
+            times.append((time.perf_counter() - t0) / iters)
+        # finite check LAST: the d2h fetch is the request most likely to
+        # trip the relay, so it must not precede the timing. np.asarray is
+        # a pure transfer (no eager op); on UNIMPLEMENTED the row records
+        # the skipped check explicitly instead of silently passing it.
         finite_check = "ok"
         try:
             if not bool(np.isfinite(np.asarray(acc))):
@@ -142,11 +149,6 @@ def _make_rate_stream(log, hbm_peak):
             finite_check = "skipped: d2h transfer UNIMPLEMENTED (relay " \
                            "partial-wedge; execution verified complete)"
             log(f"{name}: WARNING {finite_check}")
-        times = []
-        for r in range(repeats):
-            t0 = time.perf_counter()
-            jax.block_until_ready(many(params, state0, x, jnp.float32(r)))
-            times.append((time.perf_counter() - t0) / iters)
         times.sort()
         median = times[len(times) // 2]
         spread = (times[-1] - times[0]) / median
@@ -183,6 +185,28 @@ def _make_rate_stream(log, hbm_peak):
         return row
 
     return rate_stream
+
+
+def _row_guard(log, rows, config, name, fn, backoff=75):
+    """Measure one config row, tolerating the relay's wedge modes: on an
+    UNIMPLEMENTED infra failure, wait for partial recovery and retry once;
+    a row that still fails is recorded as an explicit error row (the
+    artifact stays complete and the run exits non-zero) instead of
+    aborting every subsequent config."""
+    import time
+    for attempt in range(2):
+        try:
+            rows.append(dict(fn(), config=config))
+            return True
+        except Exception as e:
+            msg = f"{type(e).__name__}: {str(e)[:160]}"
+            log(f"{name} attempt {attempt}: {msg}")
+            if attempt == 0 and "UNIMPLEMENTED" in str(e):
+                log(f"  relay wedge suspected; sleeping {backoff}s")
+                time.sleep(backoff)
+            else:
+                rows.append({"name": name, "config": config, "error": msg})
+                return False
 
 
 def _bench_secondary(log, rate_stream, small: bool = False):
@@ -223,66 +247,90 @@ def _bench_secondary(log, rate_stream, small: bool = False):
     # (600k composite decode + 48k two-phase decimation)
     n2 = 500_000 if small else 2_000_000  # stereo scans stay integral
     x2 = noise_iq(n2, seed=2)
-    cfg_m = BankConfig(freqs=(0.0,), iq_rate=2_400_000.0, demod="fm",
-                       decim1=10, decim2=5, kd=75_000.0 / 240_000.0)
-    pm, sm = bbuild(cfg_m)
-    rows.append(dict(rate_stream("wbfm_mono", partial(bank_step, cfg=cfg_m),
-                                 pm, sm, x2, n2), config=2))
-    from tpudsp.chains.wbfm import WBFMStereoReceiver, _stereo_step
-    rx2s = WBFMStereoReceiver(block_len=n2)
-    rows.append(dict(rate_stream(
-        "wbfm_stereo", lambda p, st, v: _stereo_step(p, st, v, cfg=rx2s.cfg),
-        rx2s._params, rx2s.state, x2, n2), config=2))
+
+    def row_wbfm_mono():
+        cfg_m = BankConfig(freqs=(0.0,), iq_rate=2_400_000.0, demod="fm",
+                           decim1=10, decim2=5, kd=75_000.0 / 240_000.0)
+        pm, sm = bbuild(cfg_m)
+        return rate_stream("wbfm_mono", partial(bank_step, cfg=cfg_m),
+                           pm, sm, x2, n2)
+
+    def row_wbfm_stereo():
+        from tpudsp.chains.wbfm import WBFMStereoReceiver, _stereo_step
+        rx2s = WBFMStereoReceiver(block_len=n2)
+        return rate_stream(
+            "wbfm_stereo",
+            lambda p, st, v: _stereo_step(p, st, v, cfg=rx2s.cfg),
+            rx2s._params, rx2s.state, x2, n2)
+
+    _row_guard(log, rows, 2, "wbfm_mono", row_wbfm_mono)
+    _row_guard(log, rows, 2, "wbfm_stereo", row_wbfm_stereo)
 
     # config 3: 16-channel bank (c64 and raw-int16 wire-format ingest)
     cfg16 = BankConfig(freqs=tuple(float(f) for f in
                                    np.linspace(-1e6, 1e6, 16, endpoint=False)))
-    p, s = bbuild(cfg16)
     n = 2_000_000 if small else 8_000_000
     x = noise_iq(n, seed=3)
-    rows.append(dict(rate_stream("bank16", partial(bank_step, cfg=cfg16),
-                                 p, s, x, n), config=3))
-    pi, si = bbuild(cfg16, input_format="i16")
-    xi = to_i16(x)
-    rows.append(dict(rate_stream("bank16_i16", partial(bank_step, cfg=cfg16),
-                                 pi, si, xi, n, bytes_per_sample=4),
-                     config=3))
-    pu, su = bbuild(cfg16, input_format="u8")
-    xu = to_u8(x)
-    rows.append(dict(rate_stream("bank16_u8", partial(bank_step, cfg=cfg16),
-                                 pu, su, xu, n, bytes_per_sample=2),
-                     config=3))
+
+    def row_bank16():
+        p, st = bbuild(cfg16)
+        return rate_stream("bank16", partial(bank_step, cfg=cfg16),
+                           p, st, x, n)
+
+    def row_bank16_i16():
+        pi, si = bbuild(cfg16, input_format="i16")
+        return rate_stream("bank16_i16", partial(bank_step, cfg=cfg16),
+                           pi, si, to_i16(x), n, bytes_per_sample=4)
+
+    def row_bank16_u8():
+        pu, su = bbuild(cfg16, input_format="u8")
+        return rate_stream("bank16_u8", partial(bank_step, cfg=cfg16),
+                           pu, su, to_u8(x), n, bytes_per_sample=2)
+
+    _row_guard(log, rows, 3, "bank16", row_bank16)
+    _row_guard(log, rows, 3, "bank16_i16", row_bank16_i16)
+    _row_guard(log, rows, 3, "bank16_u8", row_bank16_u8)
 
     # config 4: 1024-channel channelized bank (c64 and raw-int16 ingest)
     from tpudsp.chains.channelizer import (
         ChannelizedBankConfig, bank_build, bank_step as chstep)
     ccfg = ChannelizedBankConfig()
-    cp, cs = bank_build(ccfg)
     nc = 1024 * (2048 if small else 16384)
     xc = noise_iq(nc, seed=4)
-    rows.append(dict(rate_stream("channelized_1024ch",
-                                 partial(chstep, cfg=ccfg), cp, cs, xc, nc),
-                     config=4))
-    cpi, csi = bank_build(ccfg, input_format="i16")
-    xci = to_i16(xc)
-    rows.append(dict(rate_stream("channelized_1024ch_i16",
-                                 partial(chstep, cfg=ccfg), cpi, csi, xci,
-                                 nc, bytes_per_sample=4), config=4))
-    cpu_, csu = bank_build(ccfg, input_format="u8")
-    xcu = to_u8(xc)
-    rows.append(dict(rate_stream("channelized_1024ch_u8",
-                                 partial(chstep, cfg=ccfg), cpu_, csu, xcu,
-                                 nc, bytes_per_sample=2), config=4))
+
+    def row_ch():
+        cp, cs = bank_build(ccfg)
+        return rate_stream("channelized_1024ch",
+                           partial(chstep, cfg=ccfg), cp, cs, xc, nc)
+
+    def row_ch_i16():
+        cpi, csi = bank_build(ccfg, input_format="i16")
+        return rate_stream("channelized_1024ch_i16",
+                           partial(chstep, cfg=ccfg), cpi, csi, to_i16(xc),
+                           nc, bytes_per_sample=4)
+
+    def row_ch_u8():
+        cpu_, csu = bank_build(ccfg, input_format="u8")
+        return rate_stream("channelized_1024ch_u8",
+                           partial(chstep, cfg=ccfg), cpu_, csu, to_u8(xc),
+                           nc, bytes_per_sample=2)
+
+    _row_guard(log, rows, 4, "channelized_1024ch", row_ch)
+    _row_guard(log, rows, 4, "channelized_1024ch_i16", row_ch_i16)
+    _row_guard(log, rows, 4, "channelized_1024ch_u8", row_ch_u8)
 
     # config 5 core: the wideband scanner on ONE chip (time axis = 1);
     # multi-chip scaling is measured by tpudsp.bench_scaling when a mesh
     # is available
-    from tpudsp.parallel import make_mesh
-    from tpudsp.parallel.multihost import ShardedScanner
-    sc = ShardedScanner(ccfg, make_mesh(1, 1), block_len=nc)
-    rows.append(dict(rate_stream("scanner_1chip",
-                                 lambda p_, st, v: sc._step(p_, st, v),
-                                 sc.params, sc.state, xc, nc), config=5))
+    def row_scanner():
+        from tpudsp.parallel import make_mesh
+        from tpudsp.parallel.multihost import ShardedScanner
+        sc = ShardedScanner(ccfg, make_mesh(1, 1), block_len=nc)
+        return rate_stream("scanner_1chip",
+                           lambda p_, st, v: sc._step(p_, st, v),
+                           sc.params, sc.state, xc, nc)
+
+    _row_guard(log, rows, 5, "scanner_1chip", row_scanner)
     return rows
 
 
@@ -327,63 +375,65 @@ def _impl(platform: str):
     if cpu_fallback:
         from functools import partial as _p
         rate_stream = _p(rate_stream, iters=3, repeats=3)
-    row = rate_stream(f"am_chain_fused[{dev.platform}]",
-                      partial(am_step_fused, cfg=cfg, exact=False),
-                      params, state, iq_j, block)
 
-    # pallas fused back end variant: report whichever is faster as the metric
-    try:
-        row_p = rate_stream("am_chain_fused_pallas",
-                            partial(am_step_fused, cfg=cfg, exact=False,
-                                    backend="pallas"),
-                            params, state, iq_j, block)
-        if row_p["value"] > row["value"]:
-            row = row_p
-    except Exception as e:
-        log(f"pallas-backend bench skipped: {type(e).__name__}: {e}")
+    # config-1 variants, each individually guarded; the headline metric is
+    # the fastest variant that measured successfully
+    rows = []
 
-    # raw-int16 ingest variant (the radio's wire format, 4 B/sample: the
+    def row_c64():
+        return rate_stream(f"am_chain_fused[{dev.platform}]",
+                           partial(am_step_fused, cfg=cfg, exact=False),
+                           params, state, iq_j, block)
+
+    def row_pallas():
+        return rate_stream("am_chain_fused_pallas",
+                           partial(am_step_fused, cfg=cfg, exact=False,
+                                   backend="pallas"),
+                           params, state, iq_j, block)
+
+    # wire-format variants (i16 4 B/sample, RTL-SDR u8 2 B/sample): the
     # chain converts on-chip inside the front-end matmul, so the
-    # HBM-ingest ceiling doubles). Output pinned to the c64 chain by
-    # tests/test_chains.py::test_am_receiver_raw_i16_input_matches_converted.
-    try:
+    # HBM-ingest ceiling doubles/quadruples. Outputs pinned to the c64
+    # chain by tests/test_chains.py.
+    def row_i16():
         params_i, state_i, _ = build(cfg, block, input_format="i16")
         i16 = _wire(iq_j, 32767.0, 0.0, -32767, 32767, jnp.int16)
-        row_i = rate_stream("am_chain_fused_i16",
-                            partial(am_step_fused, cfg=cfg, exact=False),
-                            params_i, state_i, i16, block,
-                            bytes_per_sample=4)
-        if row_i["value"] > row["value"]:
-            row = row_i
-    except Exception as e:
-        log(f"i16-ingest bench skipped: {type(e).__name__}: {e}")
+        return rate_stream("am_chain_fused_i16",
+                           partial(am_step_fused, cfg=cfg, exact=False),
+                           params_i, state_i, i16, block, bytes_per_sample=4)
 
-    # RTL-SDR uint8 wire format (2 B/sample): 4x the complex64 ingest
-    # ceiling; pinned by test_am_receiver_raw_u8_input_matches_converted
-    try:
+    def row_u8():
         params_u, state_u, _ = build(cfg, block, input_format="u8")
         u8 = _wire(iq_j, 127.5, 127.5, 0, 255, jnp.uint8)
-        row_u = rate_stream("am_chain_fused_u8",
-                            partial(am_step_fused, cfg=cfg, exact=False),
-                            params_u, state_u, u8, block,
-                            bytes_per_sample=2)
-        if row_u["value"] > row["value"]:
-            row = row_u
-    except Exception as e:
-        log(f"u8-ingest bench skipped: {type(e).__name__}: {e}")
+        return rate_stream("am_chain_fused_u8",
+                           partial(am_step_fused, cfg=cfg, exact=False),
+                           params_u, state_u, u8, block, bytes_per_sample=2)
 
-    rows = [dict(row, config=1)]
+    _row_guard(log, rows, 1, f"am_chain_fused[{dev.platform}]", row_c64)
+    _row_guard(log, rows, 1, "am_chain_fused_pallas", row_pallas)
+    _row_guard(log, rows, 1, "am_chain_fused_i16", row_i16)
+    _row_guard(log, rows, 1, "am_chain_fused_u8", row_u8)
+    ok1 = [r for r in rows if "error" not in r]
+    row = max(ok1, key=lambda r: r["value"]) if ok1 else None
+
     if "--all" in sys.argv:
         rows += _bench_secondary(log, rate_stream, small=cpu_fallback)
-        for r in rows:
-            r.update(platform=str(dev.platform),
-                     device_kind=str(dev.device_kind),
-                     vs_baseline=round(r["value"] / REFERENCE_BASELINE_SPS, 2))
+    failed = [r["name"] for r in rows if "error" in r]
+    for r in rows:
+        r.update(platform=str(dev.platform),
+                 device_kind=str(dev.device_kind))
+        if "error" not in r:
+            r["vs_baseline"] = round(r["value"] / REFERENCE_BASELINE_SPS, 2)
+    if "--all" in sys.argv:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                _ALL_JSON), "w") as f:
             json.dump(rows, f, indent=1)
-        log(f"wrote {len(rows)} config rows to {_ALL_JSON}")
+        log(f"wrote {len(rows)} config rows to {_ALL_JSON}"
+            + (f" ({len(failed)} FAILED: {failed})" if failed else ""))
 
+    if row is None:
+        log("config-1 measurement failed on every variant")
+        sys.exit(1)
     print(json.dumps({
         "metric": "am_chain_iq_samples_per_sec_per_chip",
         "value": row["value"],
@@ -393,11 +443,17 @@ def _impl(platform: str):
         "variant": row["name"],
         "ms_per_block_median": row["ms_per_block_median"],
         "spread_pct": row["spread_pct"],
+        "finite_check": row["finite_check"],
         "input_bytes_per_sample": row["input_bytes_per_sample"],
         "implied_input_GB_per_s": row["implied_input_GB_per_s"],
         "hbm_peak_GB_per_s": row["hbm_peak_GB_per_s"],
         "hbm_roofline_frac": row["hbm_roofline_frac"],
+        "failed_rows": failed,
     }), flush=True)
+    # secondary-config failures: artifact written, headline printed,
+    # non-zero exit so regressions are never silent (VERDICT round-2 #2)
+    if failed:
+        sys.exit(3)
 
 
 def main():
@@ -423,9 +479,12 @@ def main():
             sys.stderr.write(r.stderr)
             line = next((ln for ln in r.stdout.splitlines()
                          if ln.startswith("{")), None)
-            if r.returncode == 0 and line:
+            if r.returncode in (0, 3) and line:
+                # rc 3 = headline measured, some secondary rows failed
+                # (recorded as error rows in bench_all.json): report the
+                # result AND propagate the non-zero exit
                 print(line, flush=True)
-                return
+                sys.exit(r.returncode)
             log(f"bench attempt ({platform}) failed rc={r.returncode}")
         except subprocess.TimeoutExpired:
             log(f"bench attempt ({platform}) stalled past {deadline}s "
