@@ -127,7 +127,9 @@ def _make_rate_stream(log, hbm_peak, pending=None):
         # requests and d2h transfers fail UNIMPLEMENTED while already-
         # compiled executions (and their block_until_ready syncs) keep
         # working -- so the timed loop must need nothing but dispatches.
-        salts = [jnp.float32(float(r)) for r in range(-1, repeats)]
+        # device_put of numpy scalars: pure transfers, not eager
+        # convert_element_type ops (transfers keep working in wedge mode)
+        salts = [jax.device_put(np.float32(r)) for r in range(-1, repeats)]
         _, acc = jax.block_until_ready(many(params, state0, x, salts[0]))
         times = []
         for r in range(repeats):
