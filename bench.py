@@ -345,7 +345,19 @@ def _bench_secondary(log, rate_stream, small: bool = False):
                            partial(chstep, cfg=ccfg), cpu_, csu, to_u8(xc),
                            nc, bytes_per_sample=2)
 
+    def row_ch_conv():
+        # one-pass depthwise-conv PFB accumulation (ChannelizerConfig
+        # engine='conv'); equality-pinned vs 'shift' by
+        # tests/test_channelizer.py::test_channelizer_conv_engine_matches_shift
+        from dataclasses import replace
+        ccfg_c = replace(ccfg, channelizer=replace(ccfg.channelizer,
+                                                   engine="conv"))
+        cp2, cs2 = bank_build(ccfg_c)
+        return rate_stream("channelized_1024ch_conv",
+                           partial(chstep, cfg=ccfg_c), cp2, cs2, xc, nc)
+
     _row_guard(log, rows, 4, "channelized_1024ch", row_ch)
+    _row_guard(log, rows, 4, "channelized_1024ch_conv", row_ch_conv)
     _row_guard(log, rows, 4, "channelized_1024ch_i16", row_ch_i16)
     _row_guard(log, rows, 4, "channelized_1024ch_u8", row_ch_u8)
 

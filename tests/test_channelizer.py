@@ -315,3 +315,38 @@ def test_channelized_bank_raw_u8_matches_converted():
             for ch in (4, 19):
                 got = snr_db(y_c[ch, skip:], y_u[ch, skip:])
                 assert got > floor, (os_, b, ch, got)
+
+
+def test_channelizer_conv_engine_matches_shift():
+    """engine='conv' (one-pass depthwise dilated conv) must reproduce the
+    default shift engine across os=1/2, c64/i16/u8 input, streamed."""
+    from tests.util import snr_db
+
+    C = 32
+    iq_rate = 3_200_000.0
+    n = C * 1024
+    rng = np.random.default_rng(11)
+    x = ((rng.standard_normal(2 * n) + 1j * rng.standard_normal(2 * n))
+         * 0.25).astype(np.complex64)
+    i16 = np.stack([np.round(x.real * 32767 * 0.9),
+                    np.round(x.imag * 32767 * 0.9)],
+                   axis=1).astype(np.int16)
+    u8 = np.stack([np.round(x.real * 127.5 * 0.9 + 127.5),
+                   np.round(x.imag * 127.5 * 0.9 + 127.5)],
+                  axis=1).clip(0, 255).astype(np.uint8)
+
+    for os_, cf in ((1, 0.55), (2, 0.95)):
+        for fmt, w in (("c64", x), ("i16", i16), ("u8", u8)):
+            def mk(engine):
+                cfg = ChannelizerConfig(nchan=C, taps_per_branch=6,
+                                        iq_rate=iq_rate, oversample=os_,
+                                        cutoff_frac=cf, engine=engine)
+                bc = ChannelizedBankConfig(channelizer=cfg, demod="am")
+                return ChannelizedBank(bc, block_len=n, input_format=fmt)
+
+            b_s, b_c = mk("shift"), mk("conv")
+            for b in range(2):
+                y_s = np.asarray(b_s(w[b * n:(b + 1) * n]))
+                y_c = np.asarray(b_c(w[b * n:(b + 1) * n]))
+                got = snr_db(y_s, y_c)
+                assert got > 110.0, (os_, fmt, b, got)

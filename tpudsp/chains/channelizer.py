@@ -27,6 +27,7 @@ from typing import NamedTuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..design import firdes, iirdes
 from ..kernels import agc as kagc
@@ -55,12 +56,19 @@ class ChannelizerConfig:
     # the FULL channel spacing, so a cutoff_frac up to ~1.0 gives a flat
     # passband across the whole channel with no aliasing at its edges.
     oversample: int = 1
+    # PFB branch-accumulation engine: 'shift' (T shifted multiply-adds
+    # over the frame matrix) or 'conv' (ONE depthwise dilated conv pass,
+    # _branch_accumulate_conv) -- identical results, different HBM
+    # traffic shapes; the bench picks the faster on the target chip.
+    engine: str = "shift"
 
     def __post_init__(self):
         if self.oversample not in (1, 2):
             raise ValueError("oversample must be 1 or 2")
         if self.oversample == 2 and self.nchan % 2:
             raise ValueError("2x oversampling needs an even channel count")
+        if self.engine not in ("shift", "conv"):
+            raise ValueError("engine must be 'shift' or 'conv'")
 
     @property
     def chan_rate(self):
@@ -101,7 +109,41 @@ def build(cfg: ChannelizerConfig, input_format: str = "c64"):
     return Ht, state
 
 
-def channelize(Ht, state: ChannelizerState, x, os: int = 1):
+def _branch_accumulate_conv(Ht, V, M: int, os: int):
+    """One-pass PFB branch accumulation as a depthwise dilated conv.
+
+    The default ('shift') engine accumulates T shifted elementwise
+    multiply-adds over the (M_all, C) frame matrix — T reads of the full
+    frame matrix from HBM unless XLA fuses them. This engine expresses
+    the same sum as ONE depthwise convolution along the frame axis
+    (feature_group_count=C, window T, rhs_dilation=os for the
+    oversampled hop), so the input streams through once:
+
+        u[m, p] = sum_k K[k, p] * V[m + os*k, p],   K[k, p] = Ht[T-1-k, p]
+
+    V: (M_all, C) float32/complex64 (complex decomposes into two real
+    convs host-side of the FFT). Returns (M, C) matching V's dtype."""
+    T, C = Ht.shape
+    K = Ht[::-1, :].reshape(T, 1, C)                    # (W, I=1, O=C)
+    dn = lax.conv_dimension_numbers(
+        (1, V.shape[0], C), (T, 1, C), ("NWC", "WIO", "NWC"))
+
+    def real_conv(lhs):
+        out = lax.conv_general_dilated(
+            lhs[None, :, :], K, window_strides=(1,), padding="VALID",
+            rhs_dilation=(os,), dimension_numbers=dn,
+            feature_group_count=C, preferred_element_type=jnp.float32)
+        return out[0]
+
+    if jnp.iscomplexobj(V):
+        return (real_conv(V.real.astype(jnp.float32))
+                + 1j * real_conv(V.imag.astype(jnp.float32))
+                ).astype(jnp.complex64)[:M]
+    return real_conv(V.astype(jnp.float32))[:M]
+
+
+def channelize(Ht, state: ChannelizerState, x, os: int = 1,
+               engine: str = "shift"):
     """x: (N,) complex64 with N a multiple of C. Returns
     (state, Y (M, C) complex64): M = os*N/C frames of C channel samples;
     channel c is the signal at center +c/C cycles/sample, at unity
@@ -130,10 +172,13 @@ def channelize(Ht, state: ChannelizerState, x, os: int = 1):
     else:
         B = xfull[: (M_all + 1) * R].reshape(M_all + 1, R)
         V = jnp.concatenate([B[:-1], B[1:]], axis=1)[:, ::-1]
-    u = jnp.zeros((M, C), jnp.complex64)
-    for t in range(T):
-        u = u + Ht[t][None, :] * jax.lax.dynamic_slice_in_dim(
-            V, os * (T - 1 - t), M, axis=0)
+    if engine == "conv":
+        u = _branch_accumulate_conv(Ht, V, M, os)
+    else:
+        u = jnp.zeros((M, C), jnp.complex64)
+        for t in range(T):
+            u = u + Ht[t][None, :] * jax.lax.dynamic_slice_in_dim(
+                V, os * (T - 1 - t), M, axis=0)
     Y = (jnp.fft.ifft(u, axis=1) * C).astype(jnp.complex64)
     if os == 2:
         sign_c = (1.0 - 2.0 * (jnp.arange(C) % 2)).astype(jnp.float32)
@@ -143,7 +188,8 @@ def channelize(Ht, state: ChannelizerState, x, os: int = 1):
     return new_state, Y
 
 
-def channelize_i16(Ht, state: ChannelizerState, x2, os: int = 1):
+def channelize_i16(Ht, state: ChannelizerState, x2, os: int = 1,
+                   engine: str = "shift"):
     """channelize() for RAW wire-format input: x2 (N, 2) [re, im] as
     int16 (Ht carrying the 1/32767 scale, build(input_format='i16')) or
     RTL-SDR uint8 (Ht carrying 1/127.5, build(input_format='u8') — the
@@ -164,12 +210,16 @@ def channelize_i16(Ht, state: ChannelizerState, x2, os: int = 1):
     else:
         B = xfull[: (M_all + 1) * R].reshape(M_all + 1, R, 2)
         V = jnp.concatenate([B[:-1], B[1:]], axis=1)[:, ::-1]
-    ur = jnp.zeros((M, C), jnp.float32)
-    ui = jnp.zeros((M, C), jnp.float32)
-    for t in range(T):
-        sl = jax.lax.dynamic_slice_in_dim(V, os * (T - 1 - t), M, axis=0)
-        ur = ur + Ht[t][None, :] * sl[..., 0].astype(jnp.float32)
-        ui = ui + Ht[t][None, :] * sl[..., 1].astype(jnp.float32)
+    if engine == "conv":
+        ur = _branch_accumulate_conv(Ht, V[..., 0], M, os)
+        ui = _branch_accumulate_conv(Ht, V[..., 1], M, os)
+    else:
+        ur = jnp.zeros((M, C), jnp.float32)
+        ui = jnp.zeros((M, C), jnp.float32)
+        for t in range(T):
+            sl = jax.lax.dynamic_slice_in_dim(V, os * (T - 1 - t), M, axis=0)
+            ur = ur + Ht[t][None, :] * sl[..., 0].astype(jnp.float32)
+            ui = ui + Ht[t][None, :] * sl[..., 1].astype(jnp.float32)
     if x2.dtype == jnp.uint8:
         dc = jnp.float32(127.5) * jnp.sum(Ht, axis=0)    # (C,) per branch
         ur = ur - dc[None, :]
@@ -193,7 +243,8 @@ class Channelizer:
         self.cfg = cfg
         self.block_len = block_len
         self.Ht, self.state = build(cfg)
-        self._run = jax.jit(partial(channelize, os=cfg.oversample))
+        self._run = jax.jit(partial(channelize, os=cfg.oversample,
+                                    engine=cfg.engine))
 
     def __call__(self, iq):
         iq = jnp.asarray(iq, jnp.complex64)
@@ -260,8 +311,8 @@ def bank_step(params, state: DemodBankState, x, *, cfg: ChannelizedBankConfig,
     AGC+PLL+DC back end for AM)."""
     Ht, b0, a, amb = params
     ch_fn = channelize_i16 if state.ch.tail.ndim == 2 else channelize
-    ch_state, Y = ch_fn(Ht, state.ch, x,
-                        os=cfg.channelizer.oversample)  # (M, C)
+    ch_state, Y = ch_fn(Ht, state.ch, x, os=cfg.channelizer.oversample,
+                        engine=cfg.channelizer.engine)  # (M, C)
     Yc = Y.T                                       # (C, M)
     front, dc = state.front, state.dc
     sq_modes = None
