@@ -72,7 +72,7 @@ def _hbm_peak(device_kind: str):
     return None
 
 
-def _make_rate_stream(log, hbm_peak, pending=None):
+def _make_rate_stream(log, hbm_peak):
     """Streaming-throughput measurer: ONE dispatch running `iters` blocks
     chained through the carried state on device (lax.fori_loop).
     Host-side repeated dispatches of the same executable measure
@@ -187,34 +187,6 @@ def _make_rate_stream(log, hbm_peak, pending=None):
         return row
 
     return rate_stream
-
-
-def _resolve_finite_checks(log, rows, pending):
-    """Fetch each row's audio accumulator (one d2h per row, AFTER all
-    timing) and record the outcome: 'ok', a non-finite failure (the row
-    becomes an error row), or an explicit skip when the relay's d2h path
-    is wedged -- never a silent pass."""
-    import numpy as np
-    by_name = {r.get("name"): r for r in rows}
-    for name, acc in pending:
-        r = by_name.get(name)
-        if r is None or "error" in r:
-            continue
-        try:
-            finite = bool(np.isfinite(np.asarray(acc)))
-            if finite:
-                r["finite_check"] = "ok"
-            else:
-                r["error"] = "non-finite audio accumulator (NaN/Inf)"
-                r["finite_check"] = "FAILED"
-                log(f"{name}: non-finite audio accumulator")
-        except Exception as e:
-            if "UNIMPLEMENTED" not in str(e):
-                raise
-            r["finite_check"] = ("skipped: d2h transfer UNIMPLEMENTED "
-                                 "(relay partial-wedge; execution verified "
-                                 "complete)")
-            log(f"{name}: WARNING finite check skipped (d2h UNIMPLEMENTED)")
 
 
 def _row_guard(log, rows, config, name, fn, backoff=75):
@@ -413,8 +385,7 @@ def _impl(platform: str):
         jnp.round(jnp.stack([v.real, v.imag], axis=1) * sc + off),
         lo, hi).astype(dt), static_argnums=(5,))
 
-    pending = []  # (name, accumulator handle): finite checks resolve last
-    rate_stream = _make_rate_stream(log, hbm_peak, pending=pending)
+    rate_stream = _make_rate_stream(log, hbm_peak)
     if cpu_fallback:
         from functools import partial as _p
         rate_stream = _p(rate_stream, iters=3, repeats=3)
@@ -459,8 +430,6 @@ def _impl(platform: str):
 
     if "--all" in sys.argv:
         rows += _bench_secondary(log, rate_stream, small=cpu_fallback)
-    # all timing done: now (and only now) touch the d2h path
-    _resolve_finite_checks(log, rows, pending)
     ok1 = [r for r in rows if r.get("config") == 1 and "error" not in r]
     row = max(ok1, key=lambda r: r["value"]) if ok1 else None
     failed = [r["name"] for r in rows if "error" in r]
