@@ -351,10 +351,18 @@ def _bench_secondary(log, rate_stream, small: bool = False):
 def _impl(platform: str):
     """Runs in the subprocess: measure and print one JSON line."""
     import numpy as np
-    if platform == "cpu":
-        import jax
-        jax.config.update("jax_platforms", "cpu")
     import jax
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    elif platform == "axon,cpu":
+        # register the host backend alongside the axon TPU relay so all
+        # design-time eager ops run locally (tpudsp.utils.hostbuild):
+        # the relay compiles eager ops per-op (~40 s) and some relay
+        # states reject them outright
+        try:
+            jax.config.update("jax_platforms", "axon,cpu")
+        except Exception:
+            pass
     import jax.numpy as jnp
     from functools import partial
     from tpudsp.chains.am import AMConfig, build, am_step_fused
@@ -488,9 +496,9 @@ def main():
     # min), so the deadline must comfortably exceed the worst-case run
     # (remote compiles of ~10 distinct programs + 5 timed repeats each)
     if "--all" in sys.argv:
-        attempts = [("default", 2700), ("cpu", 1800)]
+        attempts = [("axon,cpu", 2700), ("default", 1500), ("cpu", 1800)]
     else:
-        attempts = [("default", 480), ("default", 300), ("cpu", 900)]
+        attempts = [("axon,cpu", 480), ("default", 480), ("cpu", 900)]
     for platform, deadline in attempts:
         try:
             extra = ["--all"] if "--all" in sys.argv else []

@@ -318,8 +318,9 @@ class AMReceiver:
         self.block_len = int(block_len)
         self.plan = plan
         self.input_format = input_format
-        self.params, self.state, self.n_out = build(cfg, self.block_len,
-                                                    input_format)
+        from ..utils.hostbuild import host_build
+        self.params, self.state, self.n_out = host_build(
+            build, cfg, self.block_len, input_format)
         self.metrics = None  # BlockMetrics of the last processed block
         step = am_step_fused if plan == "fused" else am_step_composed
         self._step = jax.jit(partial(step, cfg=cfg, exact=exact, backend=backend))

@@ -432,7 +432,8 @@ class ReceiverBank:
         self.cfg = cfg
         self.block_len = block_len
         self.input_format = input_format
-        self.params, self.state = build(cfg, input_format)
+        from ..utils.hostbuild import host_build
+        self.params, self.state = host_build(build, cfg, input_format)
         self.metrics = None
         self._step = jax.jit(partial(bank_step, cfg=cfg, backend=backend))
 

@@ -242,7 +242,8 @@ class Channelizer:
             raise ValueError("block_len must be a multiple of nchan")
         self.cfg = cfg
         self.block_len = block_len
-        self.Ht, self.state = build(cfg)
+        from ..utils.hostbuild import host_build
+        self.Ht, self.state = host_build(build, cfg)
         self._run = jax.jit(partial(channelize, os=cfg.oversample,
                                     engine=cfg.engine))
 
@@ -368,7 +369,8 @@ class ChannelizedBank:
         self.cfg = cfg
         self.block_len = block_len
         self.input_format = input_format
-        self.params, self.state = bank_build(cfg, input_format)
+        from ..utils.hostbuild import host_build
+        self.params, self.state = host_build(bank_build, cfg, input_format)
         self.metrics = None
         self._step = jax.jit(partial(bank_step, cfg=cfg, backend=backend))
 

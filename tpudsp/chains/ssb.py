@@ -118,7 +118,9 @@ class SSBReceiver:
         self.cfg = cfg
         self.block_len = int(block_len)
         self.metrics = None
-        self.params, self.state, self.n_out = build(cfg, self.block_len)
+        from ..utils.hostbuild import host_build
+        self.params, self.state, self.n_out = host_build(
+            build, cfg, self.block_len)
         self._step = jax.jit(partial(ssb_step, cfg=cfg, n_out=self.n_out,
                                      exact=exact))
 

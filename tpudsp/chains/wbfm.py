@@ -128,20 +128,26 @@ class WBFMStereoReceiver:
         b0, aa = iirdes.deemphasis_coeffs(comp_rate)
         dtheta = knco.rad_to_u32(TWO_PI * 19000.0 / comp_rate)
         h_aud = firdes.stereo_audio_lowpass(comp_rate)
-        self._params = (jnp.asarray(h1), jnp.asarray(h2),
-                        jnp.asarray(h_aud, jnp.float32),
-                        jnp.uint32(dtheta), jnp.float32(b0), jnp.float32(aa))
+        from ..utils.hostbuild import host_build
+
+        def _design():
+            params = (jnp.asarray(h1), jnp.asarray(h2),
+                      jnp.asarray(h_aud, jnp.float32),
+                      jnp.uint32(dtheta), jnp.float32(b0), jnp.float32(aa))
+            state = StereoState(
+                in_tail=jnp.zeros((cfg.taps1 - 1,), jnp.complex64),
+                fd_prev=jnp.complex64(1.0),
+                pilot=kpll.stereo_pilot_init(),
+                aud_tail=jnp.zeros((len(h_aud) - 1,), jnp.complex64),
+                dl=jnp.float32(0.0), dr=jnp.float32(0.0),
+                a_tail_l=jnp.zeros((cfg.taps2 - 1,), jnp.float32),
+                a_tail_r=jnp.zeros((cfg.taps2 - 1,), jnp.float32),
+            )
+            return params, state
+
+        self._params, self.state = host_build(_design)
         self.block_len = block_len
         self.metrics = None
-        self.state = StereoState(
-            in_tail=jnp.zeros((cfg.taps1 - 1,), jnp.complex64),
-            fd_prev=jnp.complex64(1.0),
-            pilot=kpll.stereo_pilot_init(),
-            aud_tail=jnp.zeros((len(h_aud) - 1,), jnp.complex64),
-            dl=jnp.float32(0.0), dr=jnp.float32(0.0),
-            a_tail_l=jnp.zeros((cfg.taps2 - 1,), jnp.float32),
-            a_tail_r=jnp.zeros((cfg.taps2 - 1,), jnp.float32),
-        )
         self._step = jax.jit(partial(_stereo_step, cfg=cfg))
 
     def __call__(self, iq):

@@ -147,16 +147,9 @@ class ShardedAMReceiver:
         self.cfg = cfg
         self.mesh = mesh
         self.block_len = block_len
-        # reuse the single-chip build for taps and the fused plan
-        params, st0, n_out = am_build(cfg, block_len, input_format)
-        self.n_out = n_out
         n_loc = block_len // T
         nj_loc = n_loc // Q
         offsets = [(r * Q) // P_ for r in range(P_)]
-        kf = st0.rs_tail.shape[0]
-        amb = kab.make_params(params.agc, cfg.modulation,
-                              params.deemph_b0, params.deemph_a,
-                              carrier=cfg.carrier)
         warmup = warmup_for(agc_alpha=cfg.agc_bandwidth,
                             pll_bw=kam.PLL_BW if cfg.carrier else None)
         if nj_loc * P_ < warmup:
@@ -167,25 +160,39 @@ class ShardedAMReceiver:
                 f"local audio slice ({nj_loc * P_} samples) is shorter than "
                 f"the loop warmup window ({warmup}); use block_len >= "
                 f"{int(np.ceil(warmup / cfg.rate)) * T} or fewer time shards")
-        if halo == "async":
-            # the taps come offset-folded from build() (fold_offsets), so
-            # the P resampler phases already share the bank front kernel's
-            # stride-Q window grid; imaginary taps are zero (real filter)
-            tre = jnp.asarray(params.taps_fused)
-            self._taps = (tre, jnp.zeros_like(tre))
-        elif input_format == "u8":
-            self._taps = (params.taps_fused, params.u8_dc)
-        else:
-            self._taps = params.taps_fused
+
+        def _design():
+            # reuse the single-chip build for taps and the fused plan;
+            # all eager constant creation stays on the host backend
+            # (utils/hostbuild.py)
+            params, st0, _ = am_build(cfg, block_len, input_format)
+            amb = kab.make_params(params.agc, cfg.modulation,
+                                  params.deemph_b0, params.deemph_a,
+                                  carrier=cfg.carrier)
+            if halo == "async":
+                # the taps come offset-folded from build() (fold_offsets):
+                # the P resampler phases already share the bank front
+                # kernel's stride-Q window grid; imaginary taps are zero
+                tre = jnp.asarray(params.taps_fused)
+                taps = (tre, jnp.zeros_like(tre))
+            elif input_format == "u8":
+                taps = (params.taps_fused, params.u8_dc)
+            else:
+                taps = params.taps_fused
+            state = SAMState(
+                rs_tail=st0.rs_tail,  # (kf,) c64 or (kf, 2) wire samples
+                front=kab.FrontState(agc=kagc.agc_init(),
+                                     pll=kab.PllState(jnp.float32(0.0),
+                                                      jnp.float32(0.0))),
+                dc=jnp.float32(0.0),
+                deemph=jnp.float32(0.0),
+            )
+            return params, taps, amb, state
+
+        from ..utils.hostbuild import host_build
+        params, self._taps, amb, self.state = host_build(_design)
+        self.n_out = int(round(block_len * cfg.rate))
         self._amb = amb
-        self.state = SAMState(
-            rs_tail=st0.rs_tail,  # (kf,) c64 or (kf, 2) wire samples
-            front=kab.FrontState(agc=kagc.agc_init(),
-                                 pll=kab.PllState(jnp.float32(0.0),
-                                                  jnp.float32(0.0))),
-            dc=jnp.float32(0.0),
-            deemph=jnp.float32(0.0),
-        )
         body = partial(_sharded_am_step, offsets=offsets, Q=Q, nj_loc=nj_loc,
                        warmup=warmup, halo=halo,
                        b0=float(params.deemph_b0), a=float(params.deemph_a))

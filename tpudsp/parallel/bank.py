@@ -309,7 +309,8 @@ class ShardedBank:
         self.mesh = mesh
         self.block_len = block_len
         self.input_format = input_format
-        self.params, self.state = build(cfg, input_format)
+        from ..utils.hostbuild import host_build
+        self.params, self.state = host_build(build, cfg, input_format)
 
         coherent = cfg.am_coherent and cfg.demod == "am"
         front_spec = dc_spec = None

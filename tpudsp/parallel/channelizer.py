@@ -202,12 +202,17 @@ class ShardedChannelizer:
         self.input_format = input_format
         self.C1, self.C2 = _factor(C, n, c1)
         self.layout_perm = channel_layout(self.C1, self.C2)
-        self.Ht, st = ch_build(cfg, input_format)
-        self.tail = st.tail
-        c1g = np.arange(self.C1)[:, None]
-        p2g = np.arange(self.C2)[None, :]
-        self.tw = jnp.asarray(
-            np.exp(2j * np.pi * c1g * p2g / C).astype(np.complex64))
+        from ..utils.hostbuild import host_build
+
+        def _design():
+            Ht, st = ch_build(cfg, input_format)
+            c1g = np.arange(self.C1)[:, None]
+            p2g = np.arange(self.C2)[None, :]
+            tw = jnp.asarray(
+                np.exp(2j * np.pi * c1g * p2g / C).astype(np.complex64))
+            return Ht, st.tail, tw
+
+        self.Ht, self.tail, self.tw = host_build(_design)
 
         body = partial(tp_channelize_shard, C1=self.C1, C2=self.C2,
                        axis_name=axis_name, os=cfg.oversample)
@@ -348,27 +353,38 @@ class ShardedChannelizedBank:
             from ..kernels import agc as kagc
             from ..kernels import am_backend as kab
             from ..kernels.pll import PllState
-            amb = kab.make_params(
-                kagc.make_params(alpha=cfg.agc_bandwidth, scale=cfg.agc_scale),
-                cfg.modulation, b0, a, carrier=True)
-            shp = (self.C1, self.C2)
-            front0 = kab.FrontState(
-                agc=jax.tree.map(lambda v: jnp.broadcast_to(v, shp),
-                                 kagc.agc_init()),
-                pll=PllState(jnp.zeros(shp, jnp.float32),
-                             jnp.zeros(shp, jnp.float32)))
-            dc0 = jnp.zeros(shp, jnp.float32)
+            from ..utils.hostbuild import host_build as _hb
+
+            def _coh():
+                amb = kab.make_params(
+                    kagc.make_params(alpha=cfg.agc_bandwidth,
+                                     scale=cfg.agc_scale),
+                    cfg.modulation, b0, a, carrier=True)
+                shp = (self.C1, self.C2)
+                front0 = kab.FrontState(
+                    agc=jax.tree.map(lambda v: jnp.broadcast_to(v, shp),
+                                     kagc.agc_init()),
+                    pll=PllState(jnp.zeros(shp, jnp.float32),
+                                 jnp.zeros(shp, jnp.float32)))
+                return amb, front0, jnp.zeros(shp, jnp.float32)
+
+            amb, front0, dc0 = _hb(_coh)
             front_spec = jax.tree.map(lambda _: P(A, None), front0)
             dc_spec = P(A, None)
             front_out = front_spec
             dc_out = dc_spec
-        self.params = (sc.Ht, sc.tw, jnp.float32(b0), jnp.float32(a), amb)
-        self.state = TPBankState(
-            tail=sc.tail,
-            fd_prev=jnp.full((self.C1, self.C2), 1.0 + 0.0j, jnp.complex64),
-            deemph=jnp.zeros((self.C1, self.C2), jnp.float32),
-            front=front0, dc=dc0,
-        )
+        from ..utils.hostbuild import host_build
+
+        def _state():
+            return ((sc.Ht, sc.tw, jnp.float32(b0), jnp.float32(a), amb),
+                    TPBankState(
+                        tail=sc.tail,
+                        fd_prev=jnp.full((self.C1, self.C2), 1.0 + 0.0j,
+                                         jnp.complex64),
+                        deemph=jnp.zeros((self.C1, self.C2), jnp.float32),
+                        front=front0, dc=dc0))
+
+        self.params, self.state = host_build(_state)
 
         body = partial(tp_bank_shard, cfg=cfg, C1=self.C1, C2=self.C2,
                        axis_name=A)

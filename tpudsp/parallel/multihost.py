@@ -139,7 +139,8 @@ class ShardedScanner:
         self.mesh = mesh
         self.block_len = block_len
         self.input_format = input_format
-        self.params, self.state = bank_build(cfg, input_format)
+        from ..utils.hostbuild import host_build
+        self.params, self.state = host_build(bank_build, cfg, input_format)
 
         coherent = self.state.front is not None
         front_in = front_out = dc_in = dc_out = None

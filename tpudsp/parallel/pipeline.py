@@ -146,8 +146,9 @@ class PipelinedAMReceiver:
         self.block_len = int(block_len)
         self.input_format = input_format
         self.mesh = mesh if mesh is not None else make_stage_mesh()
-        self.params, self._st0, self.n_out = build(cfg, self.block_len,
-                                                   input_format)
+        from ..utils.hostbuild import host_build
+        self.params, self._st0, self.n_out = host_build(
+            build, cfg, self.block_len, input_format)
         self.reset()
 
         stage_specs = jax.tree.map(
@@ -182,14 +183,15 @@ class PipelinedAMReceiver:
 
     def reset(self):
         """Re-initialize all stage state for a fresh stream."""
+        from ..utils.hostbuild import host_build
         st0 = self._st0
-        self.state = AMPipeState(
+        self.state = host_build(lambda: AMPipeState(
             rs_tail=jnp.stack([st0.rs_tail] * N_STAGES),
             agc=_stack(st0.agc, N_STAGES),
             am=_stack(st0.am, N_STAGES),
             deemph=jnp.stack([st0.deemph] * N_STAGES),
             buf=jnp.zeros((N_STAGES, self.n_out), jnp.complex64),
-        )
+        ))
         self._fed = 0
 
     def flush(self):
