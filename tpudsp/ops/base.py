@@ -24,7 +24,10 @@ def as_c64(x, name="input"):
         raise TypeError(f"{name}: expected complex64 array, got dtype {x.dtype}")
     if x.ndim != 1:
         raise TypeError(f"{name}: expected 1-D array, got shape {x.shape}")
-    return jnp.asarray(x, jnp.complex64)
+    # dtype coercion in NumPy, then a PURE transfer: jnp.asarray with a
+    # differing dtype is an eager on-device convert, which remote relays
+    # serve per-op (or not at all)
+    return jnp.asarray(np.asarray(x, np.complex64))
 
 
 def as_f32(x, name="input"):
@@ -33,11 +36,35 @@ def as_f32(x, name="input"):
         raise TypeError(f"{name}: expected float32 array, got dtype {x.dtype}")
     if x.ndim != 1:
         raise TypeError(f"{name}: expected 1-D array, got shape {x.shape}")
-    return jnp.asarray(x, jnp.float32)
+    return jnp.asarray(np.asarray(x, np.float32))
 
 
 class StatefulOp:
-    """Base: explicit-state op. Subclasses set self._state (pytree)."""
+    """Base: explicit-state op. Subclasses set self._state (pytree).
+
+    Construction/reset are design-time: tiny NumPy math plus jnp constant
+    creation. Those jnp creations are EAGER ops — on a remote accelerator
+    backend each is a separate per-op remote compile (~40 s through the
+    axon relay, and some relay states reject eager requests outright) —
+    so every subclass ``__init__`` and ``reset`` runs host-backed
+    (utils/hostbuild.host_build): params land uncommitted on the host CPU
+    backend when one is registered and move to the accelerator as pure
+    transfers on the first jitted step. ``__call__`` is never wrapped
+    (compute must dispatch to the accelerator)."""
+
+    def __init_subclass__(cls, **kw):
+        super().__init_subclass__(**kw)
+        import functools
+
+        for name in ("__init__", "reset"):
+            if name in cls.__dict__:
+                orig = cls.__dict__[name]
+
+                def wrapped(self, *a, _orig=orig, **k):
+                    from ..utils.hostbuild import host_build
+                    return host_build(_orig, self, *a, **k)
+
+                setattr(cls, name, functools.wraps(orig)(wrapped))
 
     @property
     def state(self):
