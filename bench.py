@@ -136,21 +136,23 @@ def _make_rate_stream(log, hbm_peak):
             t0 = time.perf_counter()
             jax.block_until_ready(many(params, state0, x, salts[r + 1]))
             times.append((time.perf_counter() - t0) / iters)
-        # finite check LAST: the d2h fetch is the request most likely to
-        # trip the relay, so it must not precede the timing. np.asarray is
-        # a pure transfer (no eager op); on UNIMPLEMENTED the row records
-        # the skipped check explicitly instead of silently passing it.
-        finite_check = "ok"
+        # validation fetch AFTER the timed loop. This d2h transfer is the
+        # measurement's integrity witness: in the relay's wedge mode
+        # block_until_ready returns WITHOUT real completion (measured:
+        # 278-568% of the HBM roofline at >100% spread), so a row whose
+        # fetch fails has untrustworthy timing and is INVALID -- it must
+        # become an error row, never a skipped-check annotation.
         try:
-            if not bool(np.isfinite(np.asarray(acc))):
-                raise RuntimeError(f"{name}: non-finite audio accumulator "
-                                   "(chain produced NaN/Inf under bench)")
+            finite = bool(np.isfinite(np.asarray(acc)))
         except Exception as e:
-            if "UNIMPLEMENTED" not in str(e):
-                raise
-            finite_check = "skipped: d2h transfer UNIMPLEMENTED (relay " \
-                           "partial-wedge; execution verified complete)"
-            log(f"{name}: WARNING {finite_check}")
+            raise RuntimeError(
+                f"{name}: measurement invalid -- the post-timing d2h "
+                f"fetch failed ({type(e).__name__}: {str(e)[:80]}); in "
+                "this relay state completion syncs are untrustworthy")
+        if not finite:
+            raise RuntimeError(f"{name}: non-finite audio accumulator "
+                               "(chain produced NaN/Inf under bench)")
+        finite_check = "ok"
         times.sort()
         median = times[len(times) // 2]
         spread = (times[-1] - times[0]) / median
