@@ -8,12 +8,21 @@ Prints exactly ONE JSON line on stdout:
 vs_baseline is against the reference's implied sustained throughput of
 2 Msps complex IQ on the author's desktop CPU (BASELINE.md). With
 `--all`, every config's row is also written to `bench_all.json` (one
-machine-readable record per BASELINE config) and any config failure
-makes the run exit non-zero.
+machine-readable record per BASELINE config, flushed row-by-row so a
+mid-run stall keeps partial results) and any config failure makes the
+run exit non-zero.
+
+Flags:
+  --all          measure BASELINE configs 2-5 too, write bench_all.json
+  --resume       reuse same-platform non-error rows already present in
+                 bench_all.json (skip re-measuring them)
+  --require-tpu  never fall back to the CPU backend; exit non-zero if no
+                 TPU measurement succeeds. Without it a CPU fallback is
+                 marked "degraded": true in every row and the headline.
 
 Measurement honesty (round-2 judge finding): a bench whose loop re-runs
 a bitwise-identical front end credits reuse a real stream never gets —
-the recorded number exceeded the chip's HBM roofline by >3x. Two
+the recorded number exceeded the chip's HBM roofline by >3x. Three
 safeguards now make that impossible:
 
   1. Every fori_loop iteration derotates the input block by a phase that
@@ -21,16 +30,28 @@ safeguards now make that impossible:
      two iterations see the same bytes and iteration k cannot start
      before k-1's result exists. The derotation fuses into the front
      end's first read of the input (one extra VPU multiply per sample).
-  2. Roofline accounting: each row reports the implied HBM input rate
-     (8 B/sample complex64, reading the input ONCE — the floor of any
-     real chain's traffic) against the chip's peak HBM bandwidth, and
-     the run FAILS if implied bytes/s exceeds the chip's physics.
+  2. Fetch-forced clock: the timed region ends when a tiny scalar that
+     DEPENDS on the final iteration's audio has materialized on the
+     host. On this relay `block_until_ready` can return without real
+     completion (measured: 278-644% of the HBM roofline at >100%
+     spread); a d2h fetch cannot lie — it either returns real bytes or
+     fails, and a failed fetch invalidates the row. The fetch round
+     trip is amortized by auto-scaling the per-dispatch iteration count
+     (a traced fori_loop bound — no recompile) until the measured
+     round-trip latency is <~3% of the timed region, and the measured
+     latency is recorded in the row (`fetch_lat_ms`).
+  3. Roofline accounting: each row reports the implied HBM input rate
+     (wire bytes/sample, reading the input ONCE — the floor of any real
+     chain's traffic) against the chip's peak HBM bandwidth, and the
+     row FAILS if implied bytes/s exceeds the chip's physics.
 
 Robustness: the axon TPU tunnel in this environment can wedge (a client
 killed mid-claim blocks the next claim for its grant timeout), which
 stalls the very first device transfer indefinitely. The measurement
-therefore runs in a subprocess with a deadline; on stall/failure it
-retries once, then falls back to the CPU backend so a result line is
+therefore runs in a subprocess with a generous deadline (expiry sends
+SIGINT first so the client can release its claim; killing it cold
+re-wedges the relay); on stall/failure it retries, then — unless
+--require-tpu — falls back to the CPU backend so a result line is
 always produced (the platform used is reported in the JSON).
 
 Extra per-stage numbers go to stderr.
@@ -40,12 +61,14 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 
 REFERENCE_BASELINE_SPS = 2_000_000.0  # BASELINE.md reference-implied
 _IMPL_FLAG = "--impl"
 _ALL_JSON = "bench_all.json"
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
 # Peak HBM bandwidth per chip, bytes/s (public spec sheets). Used to
 # reject physically impossible measurements; unknown device kinds skip
@@ -74,28 +97,32 @@ def _hbm_peak(device_kind: str):
 
 def _make_rate_stream(log, hbm_peak):
     """Streaming-throughput measurer: ONE dispatch running `iters` blocks
-    chained through the carried state on device (lax.fori_loop).
-    Host-side repeated dispatches of the same executable measure
-    artifactually fast through the remote tunnel, so per-block timing
-    comes from a device-side loop. Each iteration's input is derotated
-    by a carry-dependent phase: distinct bytes per iteration (no
-    intra-dispatch CSE/reuse) and a data dependency that forces real
-    sequential execution. The audio-sum carry also keeps the demod work
-    live against DCE."""
+    chained through the carried state on device (lax.fori_loop with a
+    TRACED trip count, so the iteration count can be tuned per row
+    without recompiling). Host-side repeated dispatches of the same
+    executable measure artifactually fast through the remote tunnel, so
+    per-block timing comes from a device-side loop whose completion is
+    proven by a host fetch of a result-dependent scalar. Each
+    iteration's input is derotated by a carry-dependent phase: distinct
+    bytes per iteration (no intra-dispatch CSE/reuse) and a data
+    dependency that forces real sequential execution. The audio-sum
+    carry also keeps the demod work live against DCE."""
     import time
+    import numpy as np
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     def rate_stream(name, step, params, state0, x, n_samples,
-                    iters=10, repeats=5, bytes_per_sample=8):
+                    iters=10, repeats=5, bytes_per_sample=8,
+                    max_iters=512):
         # params/state/x are jit ARGUMENTS (closure-captured device
         # arrays would be inlined as MLIR constants, which fetches them
         # to host -- unsupported through the remote backend). Every
         # dispatch additionally carries a fresh `salt` scalar folded into
         # the per-iteration input perturbation so no two timed dispatches
         # are identical. bytes_per_sample: HBM bytes per IQ sample read
-        # once (8 = complex64; 4 = raw interleaved int16 ingest).
+        # once (8 = complex64; 4 = raw interleaved int16; 2 = raw u8).
         integer_input = jnp.issubdtype(x.dtype, jnp.integer)
 
         def perturb(v, i, acc, salt):
@@ -111,7 +138,7 @@ def _make_rate_stream(log, hbm_peak):
             return v * jnp.exp(1j * ph).astype(v.dtype)
 
         @jax.jit
-        def many(p, st, v, salt):
+        def many(p, st, v, salt, n_iters):
             def body(i, carry):
                 s, acc = carry
                 s2, out = step(p, s, perturb(v, i, acc, salt))
@@ -119,37 +146,76 @@ def _make_rate_stream(log, hbm_peak):
                 da = jnp.real(jnp.sum(leaf)).astype(jnp.float32)
                 return s2, acc + da
 
-            return lax.fori_loop(0, iters, body, (st, salt))
+            # traced trip count -> lowered as a while_loop; lets the
+            # measurement scale its timed region without a recompile
+            return lax.fori_loop(0, n_iters, body, (st, salt))
 
-        import numpy as np
         # EVERY host->device constant is created up front: after a big
         # execution the relay can enter a partial-wedge where new eager
         # requests and d2h transfers fail UNIMPLEMENTED while already-
-        # compiled executions (and their block_until_ready syncs) keep
-        # working -- so the timed loop must need nothing but dispatches.
-        # device_put of numpy scalars: pure transfers, not eager
-        # convert_element_type ops (transfers keep working in wedge mode)
+        # compiled executions keep working -- the timed loop needs
+        # nothing but dispatches plus the integrity fetch that proves
+        # them. device_put of numpy scalars: pure transfers, not eager
+        # convert_element_type ops (transfers keep working in wedge
+        # mode).
         salts = [jax.device_put(np.float32(r)) for r in range(-1, repeats)]
-        _, acc = jax.block_until_ready(many(params, state0, x, salts[0]))
-        times = []
-        for r in range(repeats):
+        iters_dev = {iters: jax.device_put(np.int32(iters))}
+
+        def fetch_scalar(a, what):
+            """d2h of a 4-byte scalar: the only trustworthy completion
+            witness on this relay. Failure -> the row is INVALID."""
+            try:
+                return np.asarray(a)
+            except Exception as e:
+                raise RuntimeError(
+                    f"{name}: measurement invalid -- the {what} d2h "
+                    f"fetch failed ({type(e).__name__}: {str(e)[:90]}); "
+                    "in this relay state completion syncs are "
+                    "untrustworthy") from None
+
+        # warmup: compile + steady-state the carried state, then PROVE
+        # completion with a fetch before anything is timed
+        st, acc = many(params, state0, x, salts[0], iters_dev[iters])
+        acc_h = fetch_scalar(acc, "warmup")
+
+        # fetch round-trip latency: dispatch of a trivial jitted op plus
+        # the scalar d2h -- exactly the overhead the timed region pays
+        # once per repeat. min-of-3 (want the floor, not the noise).
+        tiny = jax.jit(lambda s, a: s + 0.0 * a)
+        fetch_scalar(tiny(salts[0], acc), "latency-probe")  # compile
+        lat = []
+        for k in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(many(params, state0, x, salts[r + 1]))
-            times.append((time.perf_counter() - t0) / iters)
-        # validation fetch AFTER the timed loop. This d2h transfer is the
-        # measurement's integrity witness: in the relay's wedge mode
-        # block_until_ready returns WITHOUT real completion (measured:
-        # 278-568% of the HBM roofline at >100% spread), so a row whose
-        # fetch fails has untrustworthy timing and is INVALID -- it must
-        # become an error row, never a skipped-check annotation.
-        try:
-            finite = bool(np.isfinite(np.asarray(acc)))
-        except Exception as e:
-            raise RuntimeError(
-                f"{name}: measurement invalid -- the post-timing d2h "
-                f"fetch failed ({type(e).__name__}: {str(e)[:80]}); in "
-                "this relay state completion syncs are untrustworthy")
-        if not finite:
+            fetch_scalar(tiny(salts[k % len(salts)], acc), "latency-probe")
+            lat.append(time.perf_counter() - t0)
+        fetch_lat = min(lat)
+
+        # calibration: one fetch-forced repeat at the requested iters;
+        # grow the per-dispatch iteration count until the fetch round
+        # trip is <3% of the timed region (traced bound: no recompile)
+        def timed_repeat(s_in, salt, n_it):
+            t0 = time.perf_counter()
+            s_out, a_out = many(params, s_in, x, salt, n_it)
+            a_h = fetch_scalar(a_out, "timing")
+            return s_out, a_h, time.perf_counter() - t0
+
+        st, a_h, wall = timed_repeat(st, salts[0], iters_dev[iters])
+        per_block = max(wall - fetch_lat, 1e-9) / iters
+        want = int(min(max_iters,
+                       max(iters, np.ceil(30.0 * fetch_lat / per_block))))
+        if want != iters:
+            log(f"{name}: scaling timed region {iters} -> {want} "
+                f"iters/dispatch (fetch round-trip {fetch_lat*1e3:.1f} ms)")
+            iters = want
+            iters_dev[iters] = jax.device_put(np.int32(iters))
+
+        times = []
+        accs = []
+        for r in range(repeats):
+            st, a_h, wall = timed_repeat(st, salts[r + 1], iters_dev[iters])
+            times.append(wall / iters)  # conservative: includes 1 fetch
+            accs.append(a_h)
+        if not all(np.isfinite(a) for a in accs + [acc_h, a_h]):
             raise RuntimeError(f"{name}: non-finite audio accumulator "
                                "(chain produced NaN/Inf under bench)")
         finite_check = "ok"
@@ -168,6 +234,7 @@ def _make_rate_stream(log, hbm_peak):
             "input_bytes_per_sample": int(bytes_per_sample),
             "ms_per_block_median": round(median * 1e3, 4),
             "ms_per_block_best": round(times[0] * 1e3, 4),
+            "fetch_lat_ms": round(fetch_lat * 1e3, 2),
             "spread_pct": round(100.0 * spread, 1),
             "finite_check": finite_check,
             "implied_input_GB_per_s": round(implied / 1e9, 1),
@@ -191,31 +258,48 @@ def _make_rate_stream(log, hbm_peak):
     return rate_stream
 
 
-def _row_guard(log, rows, config, name, fn, backoff=75):
+def _row_guard(log, rows, config, name, fn, backoff=90, flush=None,
+               resume=None):
     """Measure one config row, tolerating the relay's wedge modes: on an
-    UNIMPLEMENTED infra failure, wait for partial recovery and retry once;
-    a row that still fails is recorded as an explicit error row (the
-    artifact stays complete and the run exits non-zero) instead of
-    aborting every subsequent config."""
+    UNIMPLEMENTED / invalid-fetch infra failure, wait for partial
+    recovery and retry once; a row that still fails is recorded as an
+    explicit error row (the artifact stays complete and the run exits
+    non-zero) instead of aborting every subsequent config. Completed
+    rows are flushed to disk immediately so a later stall keeps them;
+    `resume` maps row name -> a previously measured same-platform row
+    to reuse verbatim."""
     import time
+    if resume and name in resume:
+        log(f"{name}: resumed from existing artifact "
+            f"({resume[name].get('value')} samples/s)")
+        rows.append(dict(resume[name]))
+        if flush:
+            flush(rows)
+        return True
     for attempt in range(2):
         try:
             rows.append(dict(fn(), config=config))
+            if flush:
+                flush(rows)
             return True
         except Exception as e:
             msg = f"{type(e).__name__}: {str(e)[:160]}"
             log(f"{name} attempt {attempt}: {msg}")
-            if attempt == 0 and "UNIMPLEMENTED" in str(e):
+            s = str(e)
+            if attempt == 0 and ("UNIMPLEMENTED" in s or "d2h" in s):
                 log(f"  relay wedge suspected; sleeping {backoff}s")
                 time.sleep(backoff)
             else:
                 rows.append({"name": name, "config": config, "error": msg})
+                if flush:
+                    flush(rows)
                 return False
 
 
-def _bench_secondary(log, rate_stream, small: bool = False):
+def _bench_secondary(log, rate_stream, small: bool = False, flush=None,
+                     resume=None):
     """BASELINE configs 2-5 on non-zero synthetic signals. Returns a list
-    of row dicts (raises on any config failure). small=True shrinks the
+    of row dicts (error rows on config failure). small=True shrinks the
     blocks (CPU fallback: the point there is a complete artifact within
     the deadline, not a competitive number)."""
     import numpy as np
@@ -228,13 +312,16 @@ def _bench_secondary(log, rate_stream, small: bool = False):
     # All inputs are generated ON DEVICE (jitted synthesis/PRNG) and the
     # wire-format variants are derived on device too: the relay rejects
     # large host<->device transfers, and a throughput bench needs none.
+    # The PRNG key is created INSIDE the jitted program -- PRNGKey()
+    # outside jit is an eager convert_element_type, which the relay's
+    # wedge mode rejects (UNIMPLEMENTED) even when jit execution works.
     def noise_iq(n, seed=0, scale=0.1):
-        def g(key):
-            kr, ki = jax.random.split(key)
+        def g():
+            kr, ki = jax.random.split(jax.random.PRNGKey(seed))
             return (scale * (jax.random.normal(kr, (n,), jnp.float32)
                              + 1j * jax.random.normal(ki, (n,), jnp.float32))
                     ).astype(jnp.complex64)
-        return jax.block_until_ready(jax.jit(g)(jax.random.PRNGKey(seed)))
+        return jax.block_until_ready(jax.jit(g)())
 
     to_i16 = jax.jit(lambda v: jnp.stack(
         [jnp.clip(jnp.round(v.real * 32767), -32767, 32767),
@@ -245,6 +332,8 @@ def _bench_secondary(log, rate_stream, small: bool = False):
         0, 255).astype(jnp.uint8))
 
     from tpudsp.chains.bank import BankConfig, build as bbuild, bank_step
+
+    guard = partial(_row_guard, flush=flush, resume=resume)
 
     # config 2: WBFM broadcast at 2.4 Msps -- mono (single-channel fm
     # bank, wrapper.cpp:265 rates scaled to the 2.4M input) and stereo
@@ -267,10 +356,10 @@ def _bench_secondary(log, rate_stream, small: bool = False):
             lambda p, st, v: _stereo_step(p, st, v, cfg=rx2s.cfg),
             rx2s._params, rx2s.state, x2, n2)
 
-    _row_guard(log, rows, 2, "wbfm_mono", row_wbfm_mono)
-    _row_guard(log, rows, 2, "wbfm_stereo", row_wbfm_stereo)
+    guard(log, rows, 2, "wbfm_mono", row_wbfm_mono)
+    guard(log, rows, 2, "wbfm_stereo", row_wbfm_stereo)
 
-    # config 3: 16-channel bank (c64 and raw-int16 wire-format ingest)
+    # config 3: 16-channel bank (c64 and raw wire-format ingest)
     cfg16 = BankConfig(freqs=tuple(float(f) for f in
                                    np.linspace(-1e6, 1e6, 16, endpoint=False)))
     n = 2_000_000 if small else 8_000_000
@@ -291,11 +380,11 @@ def _bench_secondary(log, rate_stream, small: bool = False):
         return rate_stream("bank16_u8", partial(bank_step, cfg=cfg16),
                            pu, su, to_u8(x), n, bytes_per_sample=2)
 
-    _row_guard(log, rows, 3, "bank16", row_bank16)
-    _row_guard(log, rows, 3, "bank16_i16", row_bank16_i16)
-    _row_guard(log, rows, 3, "bank16_u8", row_bank16_u8)
+    guard(log, rows, 3, "bank16", row_bank16)
+    guard(log, rows, 3, "bank16_i16", row_bank16_i16)
+    guard(log, rows, 3, "bank16_u8", row_bank16_u8)
 
-    # config 4: 1024-channel channelized bank (c64 and raw-int16 ingest)
+    # config 4: 1024-channel channelized bank (c64 and raw wire ingest)
     from tpudsp.chains.channelizer import (
         ChannelizedBankConfig, bank_build, bank_step as chstep)
     ccfg = ChannelizedBankConfig()
@@ -330,10 +419,10 @@ def _bench_secondary(log, rate_stream, small: bool = False):
         return rate_stream("channelized_1024ch_conv",
                            partial(chstep, cfg=ccfg_c), cp2, cs2, xc, nc)
 
-    _row_guard(log, rows, 4, "channelized_1024ch", row_ch)
-    _row_guard(log, rows, 4, "channelized_1024ch_conv", row_ch_conv)
-    _row_guard(log, rows, 4, "channelized_1024ch_i16", row_ch_i16)
-    _row_guard(log, rows, 4, "channelized_1024ch_u8", row_ch_u8)
+    guard(log, rows, 4, "channelized_1024ch", row_ch)
+    guard(log, rows, 4, "channelized_1024ch_conv", row_ch_conv)
+    guard(log, rows, 4, "channelized_1024ch_i16", row_ch_i16)
+    guard(log, rows, 4, "channelized_1024ch_u8", row_ch_u8)
 
     # config 5 core: the wideband scanner on ONE chip (time axis = 1);
     # multi-chip scaling is measured by tpudsp.bench_scaling when a mesh
@@ -346,8 +435,22 @@ def _bench_secondary(log, rate_stream, small: bool = False):
                            lambda p_, st, v: sc._step(p_, st, v),
                            sc.params, sc.state, xc, nc)
 
-    _row_guard(log, rows, 5, "scanner_1chip", row_scanner)
+    guard(log, rows, 5, "scanner_1chip", row_scanner)
     return rows
+
+
+def _load_resume(platform: str):
+    """Rows from an existing bench_all.json usable as resume state:
+    same platform, measured (not error) -- keyed by row name."""
+    path = os.path.join(_HERE, _ALL_JSON)
+    try:
+        with open(path) as f:
+            prior = json.load(f)
+    except Exception:
+        return {}
+    return {r["name"]: r for r in prior
+            if r.get("platform") == platform and "error" not in r
+            and "value" in r}
 
 
 def _impl(platform: str):
@@ -375,45 +478,71 @@ def _impl(platform: str):
         f"{'%.0f GB/s' % (hbm_peak/1e9) if hbm_peak else 'unknown'}")
 
     cfg = AMConfig()
-    # 8 s of IQ at 2 Msps (128 MB on device; block*rate = 384000 outputs):
-    # large blocks amortize dispatch until the chain is HBM-bandwidth-bound
     cpu_fallback = dev.platform != "tpu"
-    block = 2_000_000 if cpu_fallback else 16_000_000
-    # relay-health escape hatches: the axon tunnel (2026-08-20) wedges on
-    # large single jobs; a mapped-healthy block size can be forced here
-    # without editing the methodology (same loop, same safeguards)
+    resume = _load_resume(str(dev.platform)) if "--resume" in sys.argv else {}
+    if resume:
+        log(f"resume: reusing {len(resume)} prior {dev.platform} rows: "
+            f"{sorted(resume)}")
+
+    # 8 s of IQ at 2 Msps (128 MB on device; block*rate = 384000
+    # outputs): large blocks amortize dispatch until the chain is
+    # HBM-bandwidth-bound. The relay sometimes wedges on large single
+    # executions, so on TPU the headline config DESCENDS through block
+    # sizes until one measures cleanly (same loop, same safeguards; the
+    # winning size is recorded in the row).
     if os.environ.get("TPUDSP_BENCH_BLOCK"):
-        block = int(os.environ["TPUDSP_BENCH_BLOCK"])
-        block -= block % 125  # keep the 48k/2M output count integral
-    params, state, n_out = build(cfg, block)
+        b = int(os.environ["TPUDSP_BENCH_BLOCK"])
+        blocks = [b - b % 125]  # keep the 48k/2M output count integral
+    elif cpu_fallback:
+        blocks = [2_000_000]
+    else:
+        blocks = [16_000_000, 4_000_000, 1_000_000]
+
+    rate_stream = _make_rate_stream(log, hbm_peak)
+    if cpu_fallback:
+        rate_stream = partial(rate_stream, iters=3, repeats=3)
 
     # AM test signal synthesized ON DEVICE (the relay rejects large
     # host->device transfers; the bench performs none beyond params)
-    def _gen_iq(_):
-        t = jnp.arange(block, dtype=jnp.float32)
-        msg = jnp.sin(2 * jnp.pi * 1000.0 / cfg.iq_rate * t)
-        ph = 2 * jnp.pi * 200.0 / cfg.iq_rate * t
-        return ((1.0 + 0.5 * msg) * 0.3
-                * jnp.exp(1j * ph)).astype(jnp.complex64)
+    def _gen_iq(block):
+        def g():
+            t = jnp.arange(block, dtype=jnp.float32)
+            msg = jnp.sin(2 * jnp.pi * 1000.0 / cfg.iq_rate * t)
+            ph = 2 * jnp.pi * 200.0 / cfg.iq_rate * t
+            return ((1.0 + 0.5 * msg) * 0.3
+                    * jnp.exp(1j * ph)).astype(jnp.complex64)
+        return jax.block_until_ready(jax.jit(g)())
 
-    iq_j = jax.block_until_ready(jax.jit(_gen_iq)(0))
     _wire = jax.jit(lambda v, sc, off, lo, hi, dt: jnp.clip(
         jnp.round(jnp.stack([v.real, v.imag], axis=1) * sc + off),
         lo, hi).astype(dt), static_argnums=(5,))
 
-    rate_stream = _make_rate_stream(log, hbm_peak)
-    if cpu_fallback:
-        from functools import partial as _p
-        rate_stream = _p(rate_stream, iters=3, repeats=3)
-
-    # config-1 variants, each individually guarded; the headline metric is
-    # the fastest variant that measured successfully
     rows = []
+    flush = (_mk_flush(dev) if "--all" in sys.argv else None)
+    guard = partial(_row_guard, flush=flush, resume=resume)
 
-    def row_c64():
-        return rate_stream(f"am_chain_fused[{dev.platform}]",
-                           partial(am_step_fused, cfg=cfg, exact=False),
-                           params, state, iq_j, block)
+    # config-1 variants, each individually guarded; the headline metric
+    # is the fastest variant that measured successfully
+    c64_name = f"am_chain_fused[{dev.platform}]"
+    block = blocks[0]
+    if c64_name in resume:
+        block = resume[c64_name].get("block", block)
+        guard(log, rows, 1, c64_name, None)
+        params, state, _ = build(cfg, block)
+        iq_j = _gen_iq(block)
+    else:
+        for bi, block in enumerate(blocks):
+            params, state, _ = build(cfg, block)
+            iq_j = _gen_iq(block)
+            trial = []
+            ok = guard(log, trial, 1, c64_name, lambda: rate_stream(
+                c64_name, partial(am_step_fused, cfg=cfg, exact=False),
+                params, state, iq_j, block))
+            if ok or bi == len(blocks) - 1:
+                rows += trial
+                break
+            log(f"{c64_name}: block {block} failed; descending to "
+                f"{blocks[bi+1]}")
 
     def row_pallas():
         return rate_stream("am_chain_fused_pallas",
@@ -439,34 +568,35 @@ def _impl(platform: str):
                            partial(am_step_fused, cfg=cfg, exact=False),
                            params_u, state_u, u8, block, bytes_per_sample=2)
 
-    _row_guard(log, rows, 1, f"am_chain_fused[{dev.platform}]", row_c64)
-    _row_guard(log, rows, 1, "am_chain_fused_pallas", row_pallas)
-    _row_guard(log, rows, 1, "am_chain_fused_i16", row_i16)
-    _row_guard(log, rows, 1, "am_chain_fused_u8", row_u8)
+    guard(log, rows, 1, "am_chain_fused_pallas", row_pallas)
+    guard(log, rows, 1, "am_chain_fused_i16", row_i16)
+    guard(log, rows, 1, "am_chain_fused_u8", row_u8)
 
     if "--all" in sys.argv:
         rows += _bench_secondary(
             log, rate_stream,
-            small=cpu_fallback or bool(os.environ.get("TPUDSP_BENCH_SMALL")))
+            small=cpu_fallback or bool(os.environ.get("TPUDSP_BENCH_SMALL")),
+            flush=lambda extra: flush(rows + extra), resume=resume)
     ok1 = [r for r in rows if r.get("config") == 1 and "error" not in r]
     row = max(ok1, key=lambda r: r["value"]) if ok1 else None
     failed = [r["name"] for r in rows if "error" in r]
+    degraded = cpu_fallback and "--require-tpu" not in sys.argv
     for r in rows:
         r.update(platform=str(dev.platform),
                  device_kind=str(dev.device_kind))
+        if cpu_fallback:
+            r["degraded"] = True  # NOT the contract's TPU number
         if "error" not in r:
             r["vs_baseline"] = round(r["value"] / REFERENCE_BASELINE_SPS, 2)
     if "--all" in sys.argv:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               _ALL_JSON), "w") as f:
-            json.dump(rows, f, indent=1)
+        flush(rows)
         log(f"wrote {len(rows)} config rows to {_ALL_JSON}"
             + (f" ({len(failed)} FAILED: {failed})" if failed else ""))
 
     if row is None:
         log("config-1 measurement failed on every variant")
         sys.exit(1)
-    print(json.dumps({
+    out = {
         "metric": "am_chain_iq_samples_per_sec_per_chip",
         "value": row["value"],
         "unit": "samples/s",
@@ -475,53 +605,113 @@ def _impl(platform: str):
         "variant": row["name"],
         "ms_per_block_median": row["ms_per_block_median"],
         "spread_pct": row["spread_pct"],
+        "fetch_lat_ms": row.get("fetch_lat_ms"),
         "finite_check": row["finite_check"],
         "input_bytes_per_sample": row["input_bytes_per_sample"],
         "implied_input_GB_per_s": row["implied_input_GB_per_s"],
         "hbm_peak_GB_per_s": row["hbm_peak_GB_per_s"],
         "hbm_roofline_frac": row["hbm_roofline_frac"],
         "failed_rows": failed,
-    }), flush=True)
+    }
+    if degraded:
+        # a CPU fallback is a liveness artifact, never the chip number
+        out["degraded"] = True
+    print(json.dumps(out), flush=True)
     # secondary-config failures: artifact written, headline printed,
     # non-zero exit so regressions are never silent (VERDICT round-2 #2)
     if failed:
         sys.exit(3)
 
 
+def _mk_flush(dev):
+    """Row-by-row artifact writer: every completed row lands on disk
+    immediately (atomic rename), so a mid-run relay stall or kill keeps
+    all rows measured so far (VERDICT round-3 #2)."""
+    path = os.path.join(_HERE, _ALL_JSON)
+
+    def flush(rows):
+        tagged = []
+        for r in rows:
+            r = dict(r)
+            r.setdefault("platform", str(dev.platform))
+            r.setdefault("device_kind", str(dev.device_kind))
+            if "error" not in r and "vs_baseline" not in r:
+                r["vs_baseline"] = round(
+                    r["value"] / REFERENCE_BASELINE_SPS, 2)
+            if dev.platform != "tpu":
+                r.setdefault("degraded", True)
+            tagged.append(r)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(tagged, f, indent=1)
+        os.replace(tmp, path)
+
+    return flush
+
+
+def _run_attempt(platform: str, deadline: int, extra):
+    """One measurement subprocess with a graceful deadline: expiry sends
+    SIGINT (KeyboardInterrupt lets the jax client release its TPU claim)
+    and only escalates to SIGKILL if the process ignores it for 120 s --
+    a cold kill mid-claim wedges the relay for its grant timeout
+    (~10-30 min), poisoning every later attempt."""
+    p = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), _IMPL_FLAG, platform]
+        + extra,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=_HERE)
+    try:
+        out, err = p.communicate(timeout=deadline)
+        return p.returncode, out, err
+    except subprocess.TimeoutExpired:
+        log(f"bench attempt ({platform}) passed {deadline}s; sending "
+            "SIGINT and waiting for a graceful release")
+        p.send_signal(signal.SIGINT)
+        try:
+            out, err = p.communicate(timeout=120)
+            return 124, out, err
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+            return 137, out, err
+
+
 def main():
     if _IMPL_FLAG in sys.argv:
         _impl(sys.argv[sys.argv.index(_IMPL_FLAG) + 1])
         return
-    here = os.path.dirname(os.path.abspath(__file__))
-    # --all deadlines are generous on purpose: killing the TPU client
-    # mid-claim wedges the tunnel relay for its grant timeout (~10-30
-    # min), so the deadline must comfortably exceed the worst-case run
-    # (remote compiles of ~10 distinct programs + 5 timed repeats each)
+    require_tpu = "--require-tpu" in sys.argv
+    # deadlines are generous on purpose (see _run_attempt): worst case
+    # is remote compiles of ~10 distinct programs + 5 timed repeats each
     if "--all" in sys.argv:
         attempts = [("axon,cpu", 2700), ("default", 1500), ("cpu", 1800)]
     else:
-        attempts = [("axon,cpu", 480), ("default", 480), ("cpu", 900)]
+        attempts = [("axon,cpu", 1500), ("default", 1200), ("cpu", 900)]
+    if require_tpu:
+        attempts = [(p, d) for p, d in attempts if p != "cpu"]
+    extra = [a for a in ("--all", "--resume", "--require-tpu")
+             if a in sys.argv]
     for platform, deadline in attempts:
-        try:
-            extra = ["--all"] if "--all" in sys.argv else []
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), _IMPL_FLAG,
-                 platform] + extra,
-                timeout=deadline, capture_output=True, text=True, cwd=here)
-            sys.stderr.write(r.stderr)
-            line = next((ln for ln in r.stdout.splitlines()
-                         if ln.startswith("{")), None)
-            if r.returncode in (0, 3) and line:
-                # rc 3 = headline measured, some secondary rows failed
-                # (recorded as error rows in bench_all.json): report the
-                # result AND propagate the non-zero exit
-                print(line, flush=True)
-                sys.exit(r.returncode)
-            log(f"bench attempt ({platform}) failed rc={r.returncode}")
-        except subprocess.TimeoutExpired:
-            log(f"bench attempt ({platform}) stalled past {deadline}s "
-                "(wedged TPU tunnel?); retrying")
-    log("all bench attempts failed")
+        rc, out, err = _run_attempt(platform, deadline, extra)
+        sys.stderr.write(err)
+        line = next((ln for ln in out.splitlines()
+                     if ln.startswith("{")), None)
+        if rc in (0, 3) and line:
+            # rc 3 = headline measured, some secondary rows failed
+            # (recorded as error rows in bench_all.json): report the
+            # result AND propagate the non-zero exit
+            if require_tpu and '"platform": "tpu"' not in line:
+                log(f"bench attempt ({platform}) measured on "
+                    "a non-TPU backend; --require-tpu refuses it")
+                continue
+            print(line, flush=True)
+            sys.exit(rc)
+        log(f"bench attempt ({platform}) failed rc={rc}")
+        if rc in (124, 137):
+            log("  (deadline expiry -- leave the relay quiet before the "
+                "next attempt)")
+    log("all bench attempts failed"
+        + (" (--require-tpu: no CPU fallback)" if require_tpu else ""))
     sys.exit(1)
 
 

@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """RTL-SDR multi-station scanner from RAW uint8 wire bytes.
 
-The dongle's native stream is interleaved uint8 IQ ((b - 127.5)/127.5,
-the convention the reference converts host-side via u8-style helpers,
+The dongle's native stream is interleaved uint8 IQ ((b - 127.5)/127.5 —
+standard RTL-SDR practice, matching tpudsp's own io.u8_to_iq; the
+reference has no uint8 helper, its host-side bytes_to_iq is int16-only,
 utility.hpp:61-69). Here NO host conversion happens at all: the bytes
 flow through the native SPSC ring into the jitted bank as (N, 2) uint8,
 and the affine conversion folds into the front-end matmul on-chip

@@ -1,0 +1,54 @@
+#!/bin/bash
+# One deliberate TPU bench-attempt session against the axon relay.
+#
+# Protocol (CLAUDE.md "relay failure modes"): leave the relay quiet
+# >= 30 min after any failure/kill, run ONE escalating canary probe,
+# and only on a fully-passing probe launch the real bench. Never run
+# two TPU clients concurrently; never cold-kill a client mid-claim.
+#
+# Usage:  tools/tpu_attempt.sh [extra bench.py args]
+#         (default bench args: --all --resume --require-tpu)
+# Logs:   $TPU_ATTEMPT_LOG (default /tmp/tpu_attempt.log)
+# Exit:   0 = bench produced a TPU headline; 1 = probes failed;
+#         bench's own rc otherwise.
+set -u
+repo="$(cd "$(dirname "$0")/.." && pwd)"
+log="${TPU_ATTEMPT_LOG:-/tmp/tpu_attempt.log}"
+args=("$@")
+[ ${#args[@]} -eq 0 ] && args=(--all --resume --require-tpu)
+
+echo "=== attempt session start $(date)" >> "$log"
+
+# refuse to add a second concurrent TPU client (listing only -- never
+# kill by pattern)
+others=$(pgrep -af 'python.*(bench\.py|tpu_probe)' | grep -v " $$ " || true)
+if [ -n "$others" ]; then
+  echo "another TPU client appears live; aborting:" | tee -a "$log"
+  echo "$others" | tee -a "$log"
+  exit 2
+fi
+
+for try in 1 2; do
+  # SIGINT first (KeyboardInterrupt lets the jax client release its
+  # claim); SIGKILL only 120 s later. Hangs often resolve in-process
+  # within ~7-8 min, so the deadline is generous.
+  timeout --signal=INT --kill-after=120 1500 \
+    python "$repo/tools/tpu_probe.py" >> "$log" 2>&1
+  rc=$?
+  echo "probe try $try rc=$rc $(date)" >> "$log"
+  if [ $rc -eq 0 ]; then
+    cd "$repo"
+    python bench.py "${args[@]}" \
+      > /tmp/bench_tpu_attempt.out 2> /tmp/bench_tpu_attempt.err
+    rc=$?
+    echo "bench rc=$rc $(date)" >> "$log"
+    cat /tmp/bench_tpu_attempt.out >> "$log"
+    exit $rc
+  fi
+  if [ $try -eq 1 ]; then
+    echo "canary failed; quiet 1800s before the single retry" >> "$log"
+    sleep 1800
+  fi
+done
+echo "both canaries failed; leaving the relay quiet" >> "$log"
+exit 1

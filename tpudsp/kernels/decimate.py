@@ -171,7 +171,9 @@ def fused_frontend_apply_shared_i16(taps, tail, iq2, Q: int, nj: int):
 
 def fused_frontend_apply_shared_u8(taps, dc, tail, iq2, Q: int, nj: int):
     """RTL-SDR wire format: (N, 2) uint8 with sample value (b-127.5)/127.5
-    (reference io convention, u8_to_iq). The affine conversion folds into
+    (standard RTL-SDR practice, matching tpudsp's io.u8_to_iq; the
+    reference itself has no uint8 ingest — its bytes_to_iq is int16-only,
+    utility.hpp:61-69). The affine conversion folds into
     the matmul: y = sum t_i (b_i-127.5)/127.5 = sum (t_i/127.5) b_i -
     sum t_i, so taps carry the 1/127.5 scale and ``dc`` is the per-phase
     original-tap sum subtracted from each output component. HBM ingest:

@@ -48,9 +48,10 @@ def _kernel(xr_ref, xi_ref, send_ref, TT_ref, out_ref,
     span = (S - 1) * D1 + win
     my = lax.axis_index(axis_name)
     # axis_index carries the axis in its varying-axes set; literals mixed
-    # into the ring arithmetic must be explicitly pvary'd for the
+    # into the ring arithmetic must be explicitly pcast-to-varying for the
     # interpret-mode replication checker (a physical no-op on TPU)
-    vary = (lambda v: lax.pvary(v, (axis_name,))) if interpret else (lambda v: v)
+    vary = ((lambda v: lax.pcast(v, (axis_name,), to='varying'))
+            if interpret else (lambda v: v))
     right = lax.rem(my + vary(jnp.int32(1)), vary(jnp.int32(n_shards)))
 
     # 1. halo RDMA to the right neighbor, in flight through step 2.
@@ -183,7 +184,7 @@ def bank_front_async(iq_loc, tail, Tre, Tim, D1: int, nj: int,
         # primitive sees matching vma (physical no-op)
         need = frozenset((axis_name,)) - jax.typeof(TT).vma
         if need:
-            TT = lax.pvary(TT, tuple(need))
+            TT = lax.pcast(TT, tuple(need), to='varying')
     # under shard_map's replication checking the output's varying-mesh-axes
     # set must be declared: it varies over every axis any input varies over
     # (the time axis via iq, plus the channel axis when taps are sharded)
