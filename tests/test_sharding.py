@@ -84,11 +84,34 @@ def test_sharded_bank_coherent_am(mesh_shape):
     assert np.isfinite(y2).all()
 
 
-def test_sharded_bank_coherent_mixed_rejected():
-    cfg = BankConfig(freqs=(1e5, -1e5), iq_rate=2_400_000.0,
-                     demod=("fm", "am"), am_coherent=True)
-    with pytest.raises(NotImplementedError):
-        ShardedBank(cfg, make_mesh(1, 1), block_len=100_000)
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (1, 8), (2, 4)])
+def test_sharded_bank_coherent_mixed(mesh_shape):
+    """MIXED demod bank with am_coherent under shard_map (the EP
+    composition, reference wrapper.cpp:189-199 via per-radio demods):
+    channel-local meshes statically gather the AM subgroup (the
+    single-chip scheme), channel-sharded meshes run the coherent back
+    end on every row and mask-select. (1, 1) reproduces ReceiverBank
+    exactly; sharded meshes are the documented warmup approximation."""
+    iq_rate = 2_400_000.0
+    n = 400_000
+    freqs = (250_000.0, -400_000.0, 100_000.0, -150_000.0)
+    cfg = BankConfig(freqs=freqs, iq_rate=iq_rate,
+                     demod=("am", "fm", "am", "usb"), am_coherent=True)
+    iq = _am_iq(n, iq_rate, freqs)
+
+    ref_bank = ReceiverBank(cfg, block_len=n)
+    y_ref = np.asarray(ref_bank(iq))
+
+    mesh = make_mesh(*mesh_shape)
+    sb = ShardedBank(cfg, mesh, block_len=n)
+    y = np.asarray(sb(iq))
+    assert y.shape == y_ref.shape
+    settle = y.shape[1] // 4  # AGC/PLL/DC-tracker acquisition
+    floor = 80.0 if mesh_shape == (1, 1) else 55.0
+    assert snr_db(y_ref[:, settle:], y[:, settle:]) > floor
+    # second block exercises the carried front/dc state end-to-end
+    y2 = np.asarray(sb(iq))
+    assert np.isfinite(y2).all()
 
 
 def test_sharded_bank_streaming_state():

@@ -127,7 +127,8 @@ def coherent_am_time_sharded(amb, front0, dc0, y1, warmup: int):
 
 
 def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig,
-                      halo: str = "ppermute"):
+                      halo: str = "ppermute", coherent_mode: str = None,
+                      am_idx: tuple = ()):
     """Per-shard body (call under shard_map). iq: local (N_loc,) slice.
     params.taps_*/dtheta/h2 carry a local channel shard; state fields are
     sharded to match. Returns (new_state, audio_local).
@@ -138,7 +139,19 @@ def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConf
     (tpudsp/pallas/halo_async.py: inter-chip RDMA in flight while the
     interior output tiles compute). TPU-only for multi-axis meshes --
     interpret mode (CPU) discharges single-named-axis meshes only, so the
-    CPU equivalence pin lives in tests/test_halo_async.py."""
+    CPU equivalence pin lives in tests/test_halo_async.py.
+
+    coherent_mode routes cfg.am_coherent in MIXED demod banks (the EP
+    composition the reference gets for free from per-radio demod objects,
+    wrapper.cpp:189-199):
+    - 'gather': channels live locally on every shard (no channel-axis
+      sharding) -- statically gather the `am_idx` subgroup, run the
+      coherent back end on it alone, scatter back (the single-chip
+      chains/bank.py scheme, time-sharded).
+    - 'all': channels are sharded, so the local subgroup is not static --
+      run the coherent back end on EVERY local channel and mask-select;
+      the non-AM rows are dead compute traded for a uniform shard_map
+      program (state.front/dc are (C,)-sized in this mode)."""
     C_loc = params.dtheta.shape[0]
     D1, D2 = cfg.decim1, cfg.decim2
     K1, K2 = cfg.taps1, cfg.taps2
@@ -214,6 +227,24 @@ def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConf
                          jnp.where(params.ssb_mask[:, None],
                                    y1.real.astype(jnp.float32),
                                    jnp.abs(y1).astype(jnp.float32)))
+        if cfg.am_coherent and coherent_mode is not None:
+            from ..kernels.ampmodem import PLL_BW
+            from ..kernels.warmup import warmup_for
+            w = warmup_for(
+                agc_alpha=cfg.agc_bandwidth, pll_bw=PLL_BW,
+                squelch_timeout=(cfg.squelch_timeout if cfg.squelch
+                                 else 0))
+            if coherent_mode == "gather":
+                idx = jnp.asarray(am_idx)
+                front, dc, coh = coherent_am_time_sharded(
+                    params.amb, state.front, state.dc, y1[idx, :],
+                    warmup=w)
+                base = base.at[idx].set(coh)
+            else:  # 'all': per-shard subgroup is dynamic; scan every row
+                front, dc, coh = coherent_am_time_sharded(
+                    params.amb, state.front, state.dc, y1, warmup=w)
+                am_mask = ~(params.fm_mask | params.ssb_mask)
+                base = jnp.where(am_mask[:, None], coh, base)
     fd_prev = y1[:, -1]
 
     nj2 = nj1 // D2
@@ -289,11 +320,6 @@ class ShardedBank:
         if input_format != "c64" and halo == "async":
             raise ValueError("halo='async' runs the complex64 ring kernel; "
                              "wire-format ingest uses halo='ppermute'")
-        if cfg.am_coherent and cfg.demod != "am":
-            raise NotImplementedError(
-                "sharded am_coherent needs a uniform demod='am' bank "
-                "(per-channel dispatch is not static inside shard_map); "
-                "use ReceiverBank for mixed coherent banks")
         D = cfg.decim1 * cfg.decim2
         n_time = mesh.shape[TIME_AXIS]
         # a time-only mesh (no channel axis) keeps channels local to every
@@ -310,9 +336,32 @@ class ShardedBank:
         self.block_len = block_len
         self.input_format = input_format
         from ..utils.hostbuild import host_build
+        from ..chains.bank import _am_indices
         self.params, self.state = host_build(build, cfg, input_format)
 
-        coherent = cfg.am_coherent and cfg.demod == "am"
+        if (self.params.lsb_sign is not None
+                and block_len // (cfg.decim1 * n_time) < cfg.taps2_ssb - 1):
+            raise ValueError(
+                "SSB channels need a per-time-shard baseband slice of at "
+                f"least taps2_ssb-1 = {cfg.taps2_ssb - 1} samples for the "
+                "one-sided-decimator halo; raise block_len to at least "
+                f"{cfg.decim1 * n_time * (cfg.taps2_ssb - 1)}")
+        am_idx = _am_indices(cfg)
+        coherent = cfg.am_coherent and bool(am_idx)
+        # mixed coherent banks (EP): static subgroup gather when channels
+        # are local to every shard, all-channel scan + mask-select when
+        # the channel axis is sharded (see sharded_bank_step docstring)
+        coherent_mode = None
+        if coherent and cfg.demod != "am":
+            coherent_mode = "gather" if n_chan == 1 else "all"
+            if coherent_mode == "all":
+                C = cfg.nchan
+                self.state = self.state._replace(
+                    front=host_build(lambda: jax.tree.map(
+                        lambda v: jnp.broadcast_to(v[:1], (C,) + v.shape[1:]),
+                        self.state.front)),
+                    dc=host_build(
+                        lambda: jnp.zeros((C,), jnp.float32)))
         front_spec = dc_spec = None
         front_out = dc_out = None
         if coherent:
@@ -340,7 +389,8 @@ class ShardedBank:
             front=front_spec, dc=dc_spec,
             y1_tail=P(CA) if has_ssb else None,
         )
-        body = partial(sharded_bank_step, cfg=cfg, halo=halo)
+        body = partial(sharded_bank_step, cfg=cfg, halo=halo,
+                       coherent_mode=coherent_mode, am_idx=tuple(am_idx))
         mapped = jax.shard_map(
             body, mesh=mesh,
             in_specs=(param_specs, state_specs, P(TIME_AXIS)),
