@@ -238,3 +238,20 @@ def test_tp_channelized_bank_wire_format_matches_converted(fmt):
         for ch in (7, 40):
             got = snr_db(y_ref[ch, skip:], y_tp[ch, skip:])
             assert got > floor, (fmt, b, ch, got)
+
+
+def test_sharded_conv_engine_refused():
+    """engine='conv' is not plumbed through the sharded front end; it
+    must be refused rather than silently measured as 'shift'."""
+    import pytest
+    from tpudsp.chains.channelizer import (ChannelizedBankConfig,
+                                           ChannelizerConfig)
+    from tpudsp.parallel import make_mesh
+    from tpudsp.parallel.channelizer import ShardedChannelizer
+    from tpudsp.parallel.multihost import ShardedScanner
+    ccfg = ChannelizerConfig(nchan=64, taps_per_branch=8, engine="conv")
+    with pytest.raises(NotImplementedError):
+        ShardedChannelizer(ccfg, make_mesh(1, 1), block_len=64 * 64)
+    with pytest.raises(NotImplementedError):
+        ShardedScanner(ChannelizedBankConfig(channelizer=ccfg),
+                       make_mesh(1, 1), block_len=64 * 64)

@@ -185,6 +185,12 @@ class ShardedChannelizer:
     def __init__(self, cfg: ChannelizerConfig, mesh: Mesh,
                  block_len: int, axis_name: str | None = None,
                  c1: int | None = None, input_format: str = "c64"):
+        if cfg.engine != "shift":
+            raise NotImplementedError(
+                "the sharded channelizer front end implements the 'shift' "
+                f"PFB accumulation only; engine={cfg.engine!r} would be "
+                "silently mis-measured (use chains.channelizer for the "
+                "conv engine, or engine='shift' here)")
         if axis_name is None:
             axis_name = mesh.axis_names[0]
         n = mesh.shape[axis_name]

@@ -131,6 +131,12 @@ class ShardedScanner:
 
     def __init__(self, cfg: ChannelizedBankConfig, mesh: Mesh, block_len: int,
                  input_format: str = "c64"):
+        if cfg.channelizer.engine != "shift":
+            raise NotImplementedError(
+                "the sharded channelizer front end implements the 'shift' "
+                f"PFB accumulation only; engine={cfg.channelizer.engine!r} "
+                "would be silently mis-measured (use chains.channelizer "
+                "for the conv engine, or engine='shift' here)")
         C = cfg.channelizer.nchan
         n_time = mesh.shape[TIME_AXIS]
         if block_len % (C * n_time):
