@@ -78,12 +78,14 @@ def test_ssbdemod_recovers_band(band):
     y = dem(x)
     d = 2 * tpudsp.SSBDemod.HILB_M
     ref = 2 * np.cos(2 * np.pi * f * (np.arange(n) - d))
-    assert snr_db(ref[1000:-1000], y[1000:-1000]) > 45.0
+    # measured 71.7 dB: the m=25 Hilbert's own ripple is the floor
+    # (FIDELITY.md section 1)
+    assert snr_db(ref[1000:-1000], y[1000:-1000]) > 65.0
     # and the demod for the *other* band rejects it
     dem2 = tpudsp.SSBDemod("lsb" if band == "usb" else "usb")
     z = dem2(x)
     assert 10 * np.log10(np.mean(y[1000:-1000] ** 2) /
-                         np.mean(z[1000:-1000] ** 2)) > 40.0
+                         np.mean(z[1000:-1000] ** 2)) > 65.0  # measured 71.7
 
 
 # ---------------------------------------------------------------------------
@@ -146,7 +148,8 @@ def test_fmstereo_mono_path():
     settle = len(L) // 2
     num = np.mean((L[settle:] - R[settle:]) ** 2)
     den = np.mean(L[settle:] ** 2)
-    assert 10 * np.log10(den / (num + 1e-30)) > 30.0
+    # measured 77.8 dB (FIDELITY.md section 3)
+    assert 10 * np.log10(den / (num + 1e-30)) > 60.0
     # and the audio is the 1 kHz tone (after de-emphasis gain at 1 kHz)
     fs_out = pcm_rate
     spec = np.abs(np.fft.rfft(L[settle:] * np.hanning(len(L) - settle)))
@@ -179,7 +182,7 @@ def test_fmstereo_separation():
     def pk(s, i):
         return np.max(s[i - b:i + b + 1])
 
-    # broadcast-grade separation: each channel's own tone dominates the
-    # other channel's tone by >= 30 dB (real decoders do 30-40 dB)
-    assert 20 * np.log10(pk(specL, i800) / pk(specL, i2300)) > 30.0
-    assert 20 * np.log10(pk(specR, i2300) / pk(specR, i800)) > 30.0
+    # measured 91.4/90.0 dB (FIDELITY.md section 3): far beyond real
+    # decoders' 30-40 dB broadcast practice
+    assert 20 * np.log10(pk(specL, i800) / pk(specL, i2300)) > 60.0
+    assert 20 * np.log10(pk(specR, i2300) / pk(specR, i800)) > 60.0

@@ -423,3 +423,37 @@ def test_sos_scan_df_block_invariance():
         parts.append(np.asarray(yp))
     y_cat = np.concatenate(parts)
     assert snr_db(np.asarray(y_full), y_cat) > 100.0
+
+
+def test_first_order_df_near_unit_pole():
+    """Compensated double-float one-pole scan: the plain f32 scan floors
+    at ~86 dB for rho=0.9995 (measured, FIDELITY.md section 1); the df
+    scan must clear 110 dB vs a float64 serial loop."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpudsp.kernels import iir as kiir
+
+    rho = 0.9995
+    n = 50000
+    rng = np.random.default_rng(0)
+    v = (np.sin(2 * np.pi * 0.01 * np.arange(n)) + 1.0
+         + 0.01 * rng.standard_normal(n)).astype(np.float32)
+    ref = np.empty(n)
+    d = 0.0
+    for i, x in enumerate(v.astype(np.float64)):
+        d = (1.0 - rho) * x + rho * d
+        ref[i] = d
+    _, y = kiir.first_order_apply_df(
+        kiir.first_order_split_df(1.0 - rho, rho), jnp.float32(0.0),
+        jnp.asarray(v))
+    y = np.asarray(y, np.float64)
+    snr = 10 * np.log10(np.mean(ref ** 2) / np.mean((ref - y) ** 2))
+    assert snr > 110.0, snr
+    # and the plain scan really is the documented floor (sanity on the
+    # claim, loose bound)
+    _, y32 = kiir.first_order_apply(jnp.float32(1.0 - rho),
+                                    jnp.float32(rho), jnp.float32(0.0),
+                                    jnp.asarray(v))
+    y32 = np.asarray(y32, np.float64)
+    snr32 = 10 * np.log10(np.mean(ref ** 2) / np.mean((ref - y32) ** 2))
+    assert snr32 < snr - 20.0, (snr32, snr)

@@ -140,7 +140,10 @@ def test_fmstereo_mono_path_matches_reference_topology():
     au, bu = au[:m], bu[:m]
     g = np.dot(au, bu) / np.dot(au, au)
     assert 0.9 < g < 1.1, f"mono gain mismatch: {g}"
-    assert snr_db(g * au, bu) > 25.0
+    # measured 34.5 dB; a cross-ARCHITECTURE agreement bound (pilot
+    # squaring vs the reference's divergent pilot PLL -- FIDELITY.md
+    # section 3), not a precision floor
+    assert snr_db(g * au, bu) > 30.0
 
 
 def test_broadcastam_matches_oracle():
@@ -157,8 +160,9 @@ def test_broadcastam_matches_oracle():
     dem = tpudsp.BroadcastAM()
     y_our = dem(x)
     # after PLL lock the two trajectories coincide (the loop is
-    # contractive); float32 vs float64 limits the match
-    assert snr_db(y_ref[30000:], y_our[30000:].astype(np.float64)) > 35.0
+    # contractive); measured 137.1 dB (FIDELITY.md section 1) -- the DC
+    # block's compensated df scan leaves plain f32 arithmetic as the floor
+    assert snr_db(y_ref[30000:], y_our[30000:].astype(np.float64)) > 110.0
 
 
 @pytest.mark.parametrize("am_type,carrier", [("dsb", True), ("usb", True),
@@ -177,4 +181,6 @@ def test_ampmodem_matches_oracle(am_type, carrier):
     am = tpudsp.AmpModem(modulation=0.5, type=am_type, carrier=carrier)
     y_our = np.asarray(am(x), dtype=np.float64)
     settle = 20000 if carrier else 1000
-    assert snr_db(y_ref[settle:], y_our[settle:]) > 40.0
+    # measured 118.5-141.3 dB (exact for dsb/carrier=False) after the DC
+    # tracker moved to the compensated df scan (FIDELITY.md section 1)
+    assert snr_db(y_ref[settle:], y_our[settle:]) > 100.0

@@ -69,8 +69,11 @@ def ampdemod_apply(state: AmpDemodState, x, h_hilb, mod_index, am_type: str, car
         c2r, (lower, upper) = hilb.c2r_apply(h_hilb, c2r, v)
         m_raw = upper if am_type == "usb" else lower
     if carrier:
-        dc, dc_track = iir.first_order_apply(
-            jnp.float32(1.0 - DC_RHO), jnp.float32(DC_RHO), dc, m_raw
+        # rho = 0.9995 puts the pole near the unit circle: the plain f32
+        # scan floors at ~86 dB (measured, FIDELITY.md) -- run the DC
+        # tracker through the compensated double-float scan
+        dc, dc_track = iir.first_order_apply_df(
+            iir.first_order_split_df(1.0 - DC_RHO, DC_RHO), dc, m_raw
         )
         y = (m_raw - dc_track) * inv_mod
     else:

@@ -232,6 +232,45 @@ def sos_apply_df(params_df, state, x):
     return jnp.stack(new_states), y
 
 
+def first_order_split_df(b0_64: float, a_64: float):
+    """Host-side: float64 one-pole coefficients -> f32 (hi, lo) pairs for
+    the compensated scan (split BEFORE f32 rounding, like sos_split_df)."""
+    b_hi = np.float32(b0_64)
+    a_hi = np.float32(a_64)
+    return (jnp.float32(a_hi), jnp.float32(np.float64(a_64) - a_hi),
+            jnp.float32(b_hi), jnp.float32(np.float64(b0_64) - b_hi))
+
+
+def first_order_apply_df(params_df, y_prev, x):
+    """Compensated (double-float) twin of first_order_apply for REAL x.
+
+    Near-unit poles (e.g. the ampmodem DC tracker, rho = 0.9995) floor
+    the plain f32 associative scan at ~86 dB (measured, FIDELITY.md):
+    the prefix products a^k stay ~1 while the u-prefix accumulates ~N
+    roundings of comparable magnitude. The (hi, lo) carry holds ~48
+    mantissa bits through the combine; boundary state stays f32 (per-
+    block rounding, does not compound)."""
+    a_hi, a_lo, b_hi, b_lo = params_df
+    n = x.shape[0]
+    ah = jnp.broadcast_to(a_hi, (n,))
+    al = jnp.broadcast_to(a_lo, (n,))
+    uh, ul = _two_prod(jnp.broadcast_to(b_hi, (n,)), x)
+    uh, ul = _df_renorm(uh, ul + b_lo * x)
+
+    def combine(e1, e2):
+        a1h, a1l, u1h, u1l = e1
+        a2h, a2l, u2h, u2l = e2
+        a = _df_mul((a1h, a1l), (a2h, a2l))
+        u = _df_add(_df_mul((a2h, a2l), (u1h, u1l)), (u2h, u2l))
+        return (a[0], a[1], u[0], u[1])
+
+    aph, apl, uph, upl = jax.lax.associative_scan(combine, (ah, al, uh, ul))
+    yh, yl = _df_add(_df_mul((aph, apl),
+                             (y_prev, jnp.zeros_like(y_prev))), (uph, upl))
+    y = yh + yl
+    return y[-1], y
+
+
 def first_order_init(dtype=jnp.float32):
     return jnp.zeros((), dtype=dtype)
 
