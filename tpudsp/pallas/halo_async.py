@@ -41,11 +41,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(xr_ref, xi_ref, send_ref, TT_ref, out_ref,
-            halo_ref, xv_ref, yv_ref,
+            halo_ref, xv_ref, yv_ref, xw_ref,
             rdma_send_sem, rdma_recv_sem, load_sem, store_sem,
-            *, axis_name, n_shards, D1, Kc, halo_len, S, nj, C2, interpret):
+            *, axis_name, n_shards, D1, Kc, halo_len, S, nj, C2, interpret,
+            off):
+    """off: static wire-format offset. None = float planes (complex64
+    ingest, loads go straight to the f32 tile). Otherwise xr/xi are RAW
+    integer wire planes (int16: off=0.0, taps carry 1/32767; RTL-SDR
+    uint8: off=127.5, taps carry 1/127.5): tiles load at WIRE WIDTH into
+    xw_ref (2 or 4 B/sample of HBM traffic, and the RDMA halo rides ICI
+    at wire width too), then center/convert on the VPU into the f32
+    tile. Centering before the dot is algebraically the offset-folded
+    dc-subtraction of kernels/decimate.strided_cfir_matmul_wide_u8
+    (float rounding differs; pinned to tolerance)."""
     win = Kc * D1
     span = (S - 1) * D1 + win
+    wire = off is not None
     my = lax.axis_index(axis_name)
     # axis_index carries the axis in its varying-axes set; literals mixed
     # into the ring arithmetic must be explicitly pcast-to-varying for the
@@ -89,21 +100,31 @@ def _kernel(xr_ref, xi_ref, send_ref, TT_ref, out_ref,
         cp.start()
         cp.wait()
 
+    def load_planes(xs, dst_off, count):
+        """HBM [xs, xs+count) of both planes -> f32 tile at dst_off
+        (wire: stage through the wire-width scratch, convert on VPU)."""
+        tgt = xw_ref if wire else xv_ref
+        for p, src in ((0, xr_ref), (1, xi_ref)):
+            cp = pltpu.make_async_copy(
+                src.at[pl.ds(xs, count)],
+                tgt.at[p, pl.ds(dst_off, count)], load_sem)
+            cp.start()
+            cp.wait()
+        if wire:
+            xv_ref[0, pl.ds(dst_off, count)] = (
+                xw_ref[0, pl.ds(dst_off, count)].astype(jnp.float32)
+                - jnp.float32(off))
+            xv_ref[1, pl.ds(dst_off, count)] = (
+                xw_ref[1, pl.ds(dst_off, count)].astype(jnp.float32)
+                - jnp.float32(off))
+
     # 2. interior tiles (outputs [S, nj)), overlapped with the RDMA
     n_tiles = -(-(nj - S) // S) if nj > S else 0
 
     if n_tiles > 0:  # static: a zero-trip loop must not trace OOB slices
         def body(t, _):
             s = jnp.minimum((t + 1) * S, nj - S)  # clamp: last tile overlaps
-            xs = s * D1 - halo_len
-            cp = pltpu.make_async_copy(
-                xr_ref.at[pl.ds(xs, span)], xv_ref.at[0], load_sem)
-            cp.start()
-            cp.wait()
-            cp = pltpu.make_async_copy(
-                xi_ref.at[pl.ds(xs, span)], xv_ref.at[1], load_sem)
-            cp.start()
-            cp.wait()
+            load_planes(s * D1 - halo_len, 0, span)
             store(s, tile_outputs((xv_ref[0], xv_ref[1])))
             return _
 
@@ -115,18 +136,15 @@ def _kernel(xr_ref, xi_ref, send_ref, TT_ref, out_ref,
     # tail instead of its input tail (selected host-side in
     # bank_front_async), so no in-kernel select is needed.
     rdma.wait()
-    cp = pltpu.make_async_copy(
-        xr_ref.at[pl.ds(0, span - halo_len)],
-        xv_ref.at[0, pl.ds(halo_len, span - halo_len)], load_sem)
-    cp.start()
-    cp.wait()
-    cp = pltpu.make_async_copy(
-        xi_ref.at[pl.ds(0, span - halo_len)],
-        xv_ref.at[1, pl.ds(halo_len, span - halo_len)], load_sem)
-    cp.start()
-    cp.wait()
-    xv_ref[0, pl.ds(0, halo_len)] = halo_ref[0]
-    xv_ref[1, pl.ds(0, halo_len)] = halo_ref[1]
+    load_planes(0, halo_len, span - halo_len)
+    if wire:
+        xv_ref[0, pl.ds(0, halo_len)] = (
+            halo_ref[0].astype(jnp.float32) - jnp.float32(off))
+        xv_ref[1, pl.ds(0, halo_len)] = (
+            halo_ref[1].astype(jnp.float32) - jnp.float32(off))
+    else:
+        xv_ref[0, pl.ds(0, halo_len)] = halo_ref[0]
+        xv_ref[1, pl.ds(0, halo_len)] = halo_ref[1]
     store(0, tile_outputs((xv_ref[0], xv_ref[1])))
 
 
@@ -137,9 +155,13 @@ def bank_front_async(iq_loc, tail, Tre, Tim, D1: int, nj: int,
     of parallel/bank.sharded_bank_step (call under shard_map over
     ``axis_name``).
 
-    iq_loc: (n_loc,) complex64 local slice; tail: (taps1-1,) complex64
-    block-carried fill for the leftmost shard; Tre/Tim: (C, Kc, D1)
-    blocked correlation-order taps. Returns y1m (C, nj) complex64."""
+    iq_loc: (n_loc,) complex64 local slice, OR a RAW wire-format
+    (n_loc, 2) int16/uint8 slice (Tre/Tim then carry the folded wire
+    scale, chains/bank.build(input_format=...)); tail: the matching
+    (taps1-1,)/(taps1-1, 2) block-carried fill for the leftmost shard;
+    Tre/Tim: (C, Kc, D1) blocked correlation-order taps. Returns y1m
+    (C, nj) complex64. Wire ingest keeps HBM reads AND the RDMA halo at
+    wire width (2-4 B/sample instead of 8)."""
     C, Kc, D1_ = Tre.shape
     assert D1_ == D1
     win = Kc * D1
@@ -149,18 +171,34 @@ def bank_front_async(iq_loc, tail, Tre, Tim, D1: int, nj: int,
         raise ValueError("tile too small: S*D1 must cover the halo")
     span = (S - 1) * D1 + win
 
-    xr = iq_loc.real.astype(jnp.float32)
-    xi = iq_loc.imag.astype(jnp.float32)
+    wire = iq_loc.ndim == 2
+    if wire:
+        wdt = iq_loc.dtype
+        # uint8 wire value is (b - 127.5)/127.5: center in-kernel (off),
+        # scale pre-folded into the taps; int16 is pure scale (off 0)
+        off = 127.5 if wdt == jnp.uint8 else 0.0
+        pad_val = 127 if wdt == jnp.uint8 else 0
+        xr = iq_loc[:, 0]
+        xi = iq_loc[:, 1]
+    else:
+        wdt = jnp.float32
+        off = None
+        pad_val = 0
+        xr = iq_loc.real.astype(jnp.float32)
+        xi = iq_loc.imag.astype(jnp.float32)
     # input may be shorter than the largest window reach (win - D1 -
     # halo_len short, covered by zero taps in the ppermute path's X);
     # pad explicitly so tile loads stay in bounds
     pad = max(0, (nj - 1) * D1 + win - halo_len - iq_loc.shape[0])
     if pad:
-        xr = jnp.pad(xr, (0, pad))
-        xi = jnp.pad(xi, (0, pad))
+        xr = jnp.pad(xr, (0, pad), constant_values=pad_val)
+        xi = jnp.pad(xi, (0, pad), constant_values=pad_val)
     send_in = jnp.stack([xr[iq_loc.shape[0] - halo_len: iq_loc.shape[0]],
                          xi[iq_loc.shape[0] - halo_len: iq_loc.shape[0]]])
-    tail2 = jnp.stack([tail.real, tail.imag]).astype(jnp.float32)
+    if wire:
+        tail2 = jnp.stack([tail[:, 0], tail[:, 1]]).astype(wdt)
+    else:
+        tail2 = jnp.stack([tail.real, tail.imag]).astype(jnp.float32)
     # ring payload: the LAST shard feeds the block-carried tail to shard 0
     # (its own input tail is next block's carry, kept by the caller); all
     # other shards send their input tail to their right neighbor. Selected
@@ -176,7 +214,7 @@ def bank_front_async(iq_loc, tail, Tre, Tim, D1: int, nj: int,
 
     kern = partial(_kernel, axis_name=axis_name, n_shards=n_shards,
                    D1=D1, Kc=Kc, halo_len=halo_len, S=S, nj=nj, C2=2 * C,
-                   interpret=interpret)
+                   interpret=interpret, off=off)
     if interpret:
         # the interpret-mode discharge re-traces the kernel with ref
         # values carrying their varying-axes sets; replicated operands
@@ -200,9 +238,11 @@ def bank_front_async(iq_loc, tail, Tre, Tim, D1: int, nj: int,
                   pl.BlockSpec(memory_space=pltpu.VMEM)],  # TT
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, halo_len), jnp.float32),       # halo dst
-            pltpu.VMEM((2, span), jnp.float32),           # input tile
+            pltpu.VMEM((2, halo_len), wdt),               # halo dst (wire w)
+            pltpu.VMEM((2, span), jnp.float32),           # f32 input tile
             pltpu.VMEM((S, 2 * C), jnp.float32),          # output tile
+            # wire-width staging tile ((1,1) placeholder on the f32 path)
+            pltpu.VMEM((2, span) if wire else (1, 1), wdt),
             pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
         ],

@@ -317,9 +317,6 @@ class ShardedBank:
         if input_format not in ("c64", "i16", "u8"):
             raise ValueError(f"unknown input_format {input_format!r} "
                              "(use 'c64', 'i16' or 'u8')")
-        if input_format != "c64" and halo == "async":
-            raise ValueError("halo='async' runs the complex64 ring kernel; "
-                             "wire-format ingest uses halo='ppermute'")
         D = cfg.decim1 * cfg.decim2
         n_time = mesh.shape[TIME_AXIS]
         # a time-only mesh (no channel axis) keeps channels local to every
