@@ -264,3 +264,43 @@ def test_am_receiver_raw_u8_input_matches_converted():
 
     with pytest.raises(TypeError, match="uint8"):
         rx_u(c64[:n])
+
+
+@pytest.mark.parametrize("fmt", ["i16", "u8"])
+def test_wbfm_stereo_wire_format_matches_converted(fmt):
+    """WBFMStereoReceiver(input_format='i16'/'u8'): raw wire blocks must
+    match the complex64 chain fed the dequantized samples to within the
+    wire quantization floor (the conversion folds into the channel
+    lowpass; u8 offset subtracted pre-conv)."""
+    from tpudsp.chains.wbfm import WBFMStereoReceiver
+    n = 200_000
+    t = np.arange(n)
+    iq_rate = 2_400_000.0
+    f_p = 19000.0 / iq_rate
+    la = np.sin(2 * np.pi * 900.0 / iq_rate * t)
+    comp = (la + 0.1 * np.cos(2 * np.pi * f_p * t)) * 0.008
+    x = np.exp(1j * 2 * np.pi * np.cumsum(comp) * 4.0).astype(np.complex64)
+    if fmt == "i16":
+        wire = np.stack([np.round(x.real * 32767), np.round(x.imag * 32767)],
+                        axis=1).astype(np.int16)
+        xq = (wire[:, 0] + 1j * wire[:, 1]).astype(np.complex64) / 32767.0
+    else:
+        wire = np.clip(np.round(np.stack([x.real, x.imag], axis=1)
+                                * 127.5 + 127.5), 0, 255).astype(np.uint8)
+        xq = ((wire[:, 0].astype(np.float32) - 127.5)
+              + 1j * (wire[:, 1].astype(np.float32) - 127.5)
+              ).astype(np.complex64) / 127.5
+    rx_c = WBFMStereoReceiver(block_len=n)
+    rx_w = WBFMStereoReceiver(block_len=n, input_format=fmt)
+    y_c = np.asarray(rx_c(xq))
+    y_w = np.asarray(rx_w(wire))
+    assert y_c.shape == y_w.shape
+    # drop the start: the wire tail inits at half-LSB (u8 127) vs the c64
+    # chain's exact zeros, and the discriminator's angle() of the first
+    # near-zero samples amplifies that arbitrarily (transient only)
+    s0 = len(y_c) // 10
+    err = np.mean((y_c[s0:] - y_w[s0:]) ** 2)
+    sig = np.mean(y_c[s0:] ** 2)
+    assert 10 * np.log10(sig / (err + 1e-30)) > 80.0
+    with pytest.raises(TypeError):
+        rx_w(xq)

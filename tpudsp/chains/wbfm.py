@@ -69,8 +69,18 @@ def _stereo_step(params, state: StereoState, iq, *, cfg: StereoConfig):
     D1 = cfg.decim1
     h1, h2, h_aud, dtheta_u, b0, a = params
     X = jnp.concatenate([state.in_tail, iq])
-    # decimate to composite rate with a real lowpass (conv over re/im)
-    feats = jnp.stack([X.real, X.imag]).astype(jnp.float32)
+    # decimate to composite rate with a real lowpass (conv over re/im).
+    # Raw wire-format blocks ((N, 2) int16/uint8, h1 carrying the folded
+    # wire scale -- build(input_format=...)) convert at the conv operand;
+    # the u8 -127.5 offset is subtracted up front (a DC in I/Q would
+    # land a spur at 0 Hz in the discriminator), fused by XLA into the
+    # conv's im2col read. HBM ingest: 2-4 B/sample instead of 8.
+    if X.ndim == 2:
+        feats = jnp.stack([X[:, 0], X[:, 1]]).astype(jnp.float32)
+        if X.dtype == jnp.uint8:
+            feats = feats - jnp.float32(127.5)
+    else:
+        feats = jnp.stack([X.real, X.imag]).astype(jnp.float32)
     y = lax.conv_general_dilated(feats[None], h1, (D1,), "VALID")[0]
     comp_iq = (y[0] + 1j * y[1]).astype(jnp.complex64)
     fd_prev, s = kfd.freqdem_apply(jnp.float32(cfg.kd), state.fd_prev, comp_iq)
@@ -110,12 +120,21 @@ class WBFMStereoReceiver:
     two-phase polyphase decimation 600k -> 48k (rate 2/25: two strided
     convolutions with half-sample-offset taps)."""
 
-    def __init__(self, cfg: StereoConfig = StereoConfig(), block_len: int = 1_000_000):
+    def __init__(self, cfg: StereoConfig = StereoConfig(),
+                 block_len: int = 1_000_000, input_format: str = "c64"):
         if block_len % (cfg.decim1 * cfg.decim2):
             raise ValueError("block_len must be a multiple of decim1*decim2")
+        if input_format not in ("c64", "i16", "u8"):
+            raise ValueError(f"unknown input_format {input_format!r} "
+                             "(use 'c64', 'i16' or 'u8')")
         self.cfg = cfg
+        self.input_format = input_format
         comp_rate = cfg.iq_rate / cfg.decim1       # 600 k
         h1 = firdes.kaiser_lowpass(cfg.taps1, 0.45 / cfg.decim1, 60.0)[::-1]
+        # wire-format ingest: the int->float scale folds into the channel
+        # lowpass (same scheme as chains/bank.py build(input_format=...))
+        h1 = h1 * {"c64": 1.0, "i16": 1.0 / 32767.0,
+                   "u8": 1.0 / 127.5}[input_format]
         h1 = np.stack([np.stack([h1, np.zeros_like(h1)]),
                        np.stack([np.zeros_like(h1), h1])]).astype(np.float32)
         # audio decimation taps: prototype at composite rate, cutoff 21.6 kHz;
@@ -134,8 +153,15 @@ class WBFMStereoReceiver:
             params = (jnp.asarray(h1), jnp.asarray(h2),
                       jnp.asarray(h_aud, jnp.float32),
                       jnp.uint32(dtheta), jnp.float32(b0), jnp.float32(aa))
+            in_tail = (
+                jnp.zeros((cfg.taps1 - 1, 2), jnp.int16)
+                if input_format == "i16"
+                # 127 ~ zero signal to within half an LSB
+                else jnp.full((cfg.taps1 - 1, 2), 127, jnp.uint8)
+                if input_format == "u8"
+                else jnp.zeros((cfg.taps1 - 1,), jnp.complex64))
             state = StereoState(
-                in_tail=jnp.zeros((cfg.taps1 - 1,), jnp.complex64),
+                in_tail=in_tail,
                 fd_prev=jnp.complex64(1.0),
                 pilot=kpll.stereo_pilot_init(),
                 aud_tail=jnp.zeros((len(h_aud) - 1,), jnp.complex64),
@@ -154,7 +180,15 @@ class WBFMStereoReceiver:
         """Returns (M, 2) float32 PCM ON DEVICE (no host sync: StreamRuntime
         overlap depends on the step only enqueueing device work); sets
         ``self.metrics`` (pilot_level, pll_freq) for the block."""
-        iq = jnp.asarray(iq, jnp.complex64)
+        if self.input_format in ("i16", "u8"):
+            want = jnp.int16 if self.input_format == "i16" else jnp.uint8
+            iq = jnp.asarray(iq)
+            if iq.dtype != want or iq.ndim != 2 or iq.shape[1] != 2:
+                raise TypeError(
+                    f"input_format={self.input_format!r} expects (N, 2) "
+                    f"{want.__name__} [re, im]; got {iq.dtype} {iq.shape}")
+        else:
+            iq = jnp.asarray(iq, jnp.complex64)
         if iq.shape[0] != self.block_len:
             raise ValueError(f"expected block of {self.block_len} samples")
         self.state, (pcm, metrics) = self._step(self._params, self.state, iq)
