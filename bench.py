@@ -258,6 +258,9 @@ def _make_rate_stream(log, hbm_peak):
     return rate_stream
 
 
+_WEDGE_STREAK = {"n": 0}
+
+
 def _row_guard(log, rows, config, name, fn, backoff=90, flush=None,
                resume=None):
     """Measure one config row, tolerating the relay's wedge modes: on an
@@ -267,7 +270,10 @@ def _row_guard(log, rows, config, name, fn, backoff=90, flush=None,
     non-zero) instead of aborting every subsequent config. Completed
     rows are flushed to disk immediately so a later stall keeps them;
     `resume` maps row name -> a previously measured same-platform row
-    to reuse verbatim."""
+    to reuse verbatim. Circuit breaker: after 3 consecutive infra-failed
+    rows the relay is considered wedged for this process -- remaining
+    rows record their first error immediately (no sleeps) so the
+    deadline is spent on a later attempt instead of doomed retries."""
     import time
     if resume and name in resume:
         log(f"{name}: resumed from existing artifact "
@@ -276,9 +282,11 @@ def _row_guard(log, rows, config, name, fn, backoff=90, flush=None,
         if flush:
             flush(rows)
         return True
-    for attempt in range(2):
+    wedged = _WEDGE_STREAK["n"] >= 3
+    for attempt in range(1 if wedged else 2):
         try:
             rows.append(dict(fn(), config=config))
+            _WEDGE_STREAK["n"] = 0
             if flush:
                 flush(rows)
             return True
@@ -286,10 +294,16 @@ def _row_guard(log, rows, config, name, fn, backoff=90, flush=None,
             msg = f"{type(e).__name__}: {str(e)[:160]}"
             log(f"{name} attempt {attempt}: {msg}")
             s = str(e)
-            if attempt == 0 and ("UNIMPLEMENTED" in s or "d2h" in s):
+            infra = "UNIMPLEMENTED" in s or "d2h" in s
+            if attempt == 0 and infra and not wedged:
                 log(f"  relay wedge suspected; sleeping {backoff}s")
                 time.sleep(backoff)
             else:
+                if infra:
+                    _WEDGE_STREAK["n"] += 1
+                    if _WEDGE_STREAK["n"] == 3:
+                        log("  3 consecutive infra failures: circuit "
+                            "breaker open, remaining rows fail fast")
                 rows.append({"name": name, "config": config, "error": msg})
                 if flush:
                     flush(rows)
