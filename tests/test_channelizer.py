@@ -350,3 +350,54 @@ def test_channelizer_conv_engine_matches_shift():
                 y_c = np.asarray(b_c(w[b * n:(b + 1) * n]))
                 got = snr_db(y_s, y_c)
                 assert got > 110.0, (os_, fmt, b, got)
+
+
+def test_channelized_bank_mixed_demod():
+    """Per-channel fm/am demod tuples (EP, reference wrapper.cpp:189-199
+    composition): each mixed row must match the corresponding row of a
+    uniform bank of that type on the same input — the dispatch is a
+    mask-select over batched bases with the coherent back end gathered
+    onto its static AM subgroup."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpudsp.chains.channelizer import (ChannelizedBankConfig,
+                                           ChannelizerConfig,
+                                           bank_build, bank_step)
+    from functools import partial
+
+    C = 16
+    n = C * 2048
+    rng = np.random.default_rng(11)
+    x = ((rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 0.1
+         ).astype(np.complex64)
+    ccfg = ChannelizerConfig(nchan=C, taps_per_branch=8)
+    demods = tuple("am" if i % 3 == 0 else "fm" for i in range(C))
+    for coh in (False, True):
+        cfg_mix = ChannelizedBankConfig(channelizer=ccfg, demod=demods,
+                                        am_coherent=coh)
+        pm, sm = bank_build(cfg_mix)
+        _, (a_mix, _) = bank_step(pm, sm, jnp.asarray(x), cfg=cfg_mix)
+        a_mix = np.asarray(a_mix)
+        for kind in ("fm", "am"):
+            cfg_u = ChannelizedBankConfig(channelizer=ccfg, demod=kind,
+                                          am_coherent=coh)
+            pu, su = bank_build(cfg_u)
+            _, (a_u, _) = bank_step(pu, su, jnp.asarray(x), cfg=cfg_u)
+            a_u = np.asarray(a_u)
+            rows = [i for i, d in enumerate(demods) if d == kind]
+            err = a_mix[rows] - a_u[rows]
+            sig = np.mean(a_u[rows] ** 2)
+            snr = 10 * np.log10(sig / (np.mean(err ** 2) + 1e-30))
+            assert snr > 100.0, (kind, coh, snr)
+
+
+def test_channelized_bank_mixed_demod_validation():
+    import pytest
+    from tpudsp.chains.channelizer import (ChannelizedBankConfig,
+                                           ChannelizerConfig)
+    ccfg = ChannelizerConfig(nchan=8, taps_per_branch=8)
+    with pytest.raises(ValueError):
+        ChannelizedBankConfig(channelizer=ccfg, demod=("fm",) * 7)
+    with pytest.raises(ValueError):
+        ChannelizedBankConfig(channelizer=ccfg,
+                              demod=("fm",) * 7 + ("usb",))

@@ -255,3 +255,37 @@ def test_sharded_conv_engine_refused():
     with pytest.raises(NotImplementedError):
         ShardedScanner(ChannelizedBankConfig(channelizer=ccfg),
                        make_mesh(1, 1), block_len=64 * 64)
+
+
+def test_tp_channelized_bank_mixed_demod():
+    """Mixed fm/am(+coherent) through the TP channelized bank: the
+    channel axis is sharded, so the coherent back end runs on every
+    local row and the layout-permuted mask selects. Must match the
+    single-chip mixed bank exactly (same per-channel scans; a 2-shard
+    distributed FFT is float-equivalent)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpudsp.chains.channelizer import (ChannelizedBankConfig,
+                                           ChannelizerConfig,
+                                           bank_build, bank_step)
+    from tpudsp.parallel import make_mesh
+    from tpudsp.parallel.channelizer import ShardedChannelizedBank
+
+    C = 16
+    n = C * 8 * 64
+    rng = np.random.default_rng(17)
+    x = ((rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 0.1
+         ).astype(np.complex64)
+    demods = tuple("am" if i % 3 == 0 else "fm" for i in range(C))
+    cfg = ChannelizedBankConfig(
+        channelizer=ChannelizerConfig(nchan=C, taps_per_branch=8),
+        demod=demods, am_coherent=True)
+    p, s = bank_build(cfg)
+    _, (a_ref, _) = bank_step(p, s, jnp.asarray(x), cfg=cfg)
+    a_ref = np.asarray(a_ref)
+
+    tpb = ShardedChannelizedBank(cfg, make_mesh(2, 1), block_len=n)
+    a_nat = np.asarray(tpb(x))  # __call__ un-permutes to natural order
+    err = a_ref - a_nat
+    snr = 10 * np.log10(np.mean(a_ref ** 2) / (np.mean(err ** 2) + 1e-30))
+    assert snr > 80.0, snr

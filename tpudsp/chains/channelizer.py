@@ -264,7 +264,11 @@ class DemodBankState(NamedTuple):
 @dataclass(frozen=True)
 class ChannelizedBankConfig:
     channelizer: ChannelizerConfig = ChannelizerConfig()
-    demod: str = "fm"
+    # 'fm' | 'am' uniform, or a per-channel tuple of them (the reference
+    # composes any demod per radio instance, wrapper.cpp:189-199; the EP
+    # dispatch is branch-free: mask-select over batched bases, with the
+    # coherent back end gathered onto its static AM subgroup)
+    demod: object = "fm"
     kd: float = 0.3125     # at the channel rate (see chains/bank.py)
     deemph_tau: float = 75e-6
     # Full coherent back end for demod='am' (per-channel AGC + carrier
@@ -275,9 +279,34 @@ class ChannelizedBankConfig:
     modulation: float = 1.0
 
     def __post_init__(self):
-        if self.demod not in ("fm", "am"):
-            raise ValueError(
-                f"unknown demod {self.demod!r} (use 'fm' or 'am')")
+        if isinstance(self.demod, str):
+            if self.demod not in ("fm", "am"):
+                raise ValueError(
+                    f"unknown demod {self.demod!r} (use 'fm' or 'am')")
+        else:
+            d = tuple(self.demod)
+            object.__setattr__(self, "demod", d)
+            if len(d) != self.channelizer.nchan:
+                raise ValueError(
+                    f"demod tuple length {len(d)} != nchan "
+                    f"{self.channelizer.nchan}")
+            bad = sorted({x for x in d if x not in ("fm", "am")})
+            if bad:
+                raise ValueError(f"unknown demod(s) {bad} (use 'fm'/'am')")
+
+
+def _demod_tuple(cfg: ChannelizedBankConfig):
+    d = cfg.demod
+    return (d,) * cfg.channelizer.nchan if isinstance(d, str) else d
+
+
+def _am_indices(cfg: ChannelizedBankConfig):
+    return tuple(i for i, d in enumerate(_demod_tuple(cfg)) if d == "am")
+
+
+def _is_mixed(cfg: ChannelizedBankConfig):
+    d = _demod_tuple(cfg)
+    return any(x != d[0] for x in d)
 
 
 def bank_build(cfg: ChannelizedBankConfig, input_format: str = "c64"):
@@ -285,17 +314,22 @@ def bank_build(cfg: ChannelizedBankConfig, input_format: str = "c64"):
     C = cfg.channelizer.nchan
     b0, a = iirdes.deemphasis_coeffs(cfg.channelizer.chan_rate, cfg.deemph_tau)
     front = dc0 = amb = None
-    if cfg.demod == "am" and cfg.am_coherent:
+    demods = _demod_tuple(cfg)
+    am_idx = _am_indices(cfg)
+    fm_mask = (None if not _is_mixed(cfg)
+               else jnp.asarray([d == "fm" for d in demods]))
+    if am_idx and cfg.am_coherent:
+        Ca = len(am_idx)
         amb = kab.make_params(
             kagc.make_params(alpha=cfg.agc_bandwidth, scale=cfg.agc_scale),
             cfg.modulation, b0, a, carrier=True)
         front = kab.FrontState(
-            agc=jax.tree.map(lambda v: jnp.broadcast_to(v, (C,)),
+            agc=jax.tree.map(lambda v: jnp.broadcast_to(v, (Ca,)),
                              kagc.agc_init()),
-            pll=PllState(jnp.zeros((C,), jnp.float32),
-                         jnp.zeros((C,), jnp.float32)))
-        dc0 = jnp.zeros((C,), jnp.float32)
-    params = (Ht, jnp.float32(b0), jnp.float32(a), amb)
+            pll=PllState(jnp.zeros((Ca,), jnp.float32),
+                         jnp.zeros((Ca,), jnp.float32)))
+        dc0 = jnp.zeros((Ca,), jnp.float32)
+    params = (Ht, jnp.float32(b0), jnp.float32(a), amb, fm_mask)
     state = DemodBankState(
         ch=ch_state,
         fd_prev=jnp.full((C,), 1.0 + 0.0j, jnp.complex64),
@@ -310,38 +344,57 @@ def bank_step(params, state: DemodBankState, x, *, cfg: ChannelizedBankConfig,
     """100 Msps IQ block -> (state, audio (C, M)): channelize then demod
     every channel (freqdem + de-emphasis for FM; envelope or the coherent
     AGC+PLL+DC back end for AM)."""
-    Ht, b0, a, amb = params
+    Ht, b0, a, amb, fm_mask = params
     ch_fn = channelize_i16 if state.ch.tail.ndim == 2 else channelize
     ch_state, Y = ch_fn(Ht, state.ch, x, os=cfg.channelizer.oversample,
                         engine=cfg.channelizer.engine)  # (M, C)
     Yc = Y.T                                       # (C, M)
     front, dc = state.front, state.dc
     sq_modes = None
-    if cfg.demod == "fm":
-        xprev = jnp.concatenate([state.fd_prev[:, None], Yc[:, :-1]], axis=1)
-        d = Yc * jnp.conj(xprev)
-        base = jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
+    mixed = _is_mixed(cfg)
+    am_idx = _am_indices(cfg)
+
+    def fm_base(y):
+        xprev = jnp.concatenate([state.fd_prev[:, None], y[:, :-1]], axis=1)
+        d = y * jnp.conj(xprev)
+        return jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
             TWO_PI * cfg.kd)
-    elif cfg.am_coherent:
+
+    def coherent(y, front0, dc0):
         # warmup derived from the live loop bandwidths (kernels/warmup.py)
         w = kwarm.warmup_for(agc_alpha=cfg.agc_bandwidth,
                              pll_bw=kab.PLL_BW)
         if backend == "pallas" and w <= kwarm.PALLAS_WARMUP_MAX:
             from ..pallas import enabled
             from ..pallas.am_backend_scan import front_chunked_pallas
-            front, (vr, sq_modes) = front_chunked_pallas(
-                amb, state.front, Yc, warmup=w, interpret=not enabled())
+            fr, (vr, modes) = front_chunked_pallas(
+                amb, front0, y, warmup=w, interpret=not enabled())
         else:
-            front, (vr, sq_modes) = jax.vmap(
+            fr, (vr, modes) = jax.vmap(
                 lambda s, xs: kab.front_chunked(
                     amb, s, xs, chunk=kwarm.chunk_for(w), warmup=w)
-            )(state.front, Yc)
-        dc, dct = jax.vmap(
+            )(front0, y)
+        dc2, dct = jax.vmap(
             lambda d0, v: kiir.first_order_apply(
-                1.0 - amb.dc_rho, amb.dc_rho, d0, v))(state.dc, vr)
-        base = (vr - dct) * amb.inv_mod
-    else:
+                1.0 - amb.dc_rho, amb.dc_rho, d0, v))(dc0, vr)
+        return fr, dc2, (vr - dct) * amb.inv_mod, modes
+
+    if not mixed and _demod_tuple(cfg)[0] == "fm":
+        base = fm_base(Yc)
+    elif not mixed and cfg.am_coherent:
+        front, dc, base, sq_modes = coherent(Yc, state.front, state.dc)
+    elif not mixed:
         base = jnp.abs(Yc).astype(jnp.float32)
+    else:
+        # mixed fm/am bank: branch-free mask select (EP); the coherent
+        # back end gathers its static AM subgroup and scatters back
+        base = jnp.where(fm_mask[:, None], fm_base(Yc),
+                         jnp.abs(Yc).astype(jnp.float32))
+        if cfg.am_coherent and am_idx:
+            idx = jnp.asarray(am_idx)
+            front, dc, coh, sq_modes = coherent(Yc[idx, :], state.front,
+                                                state.dc)
+            base = base.at[idx].set(coh)
     fd_prev = Yc[:, -1]
     deemph, audio = jax.vmap(
         lambda y0, xs: kiir.first_order_apply(b0, a, y0, xs)

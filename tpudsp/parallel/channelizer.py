@@ -281,22 +281,26 @@ def tp_bank_shard(params, state: TPBankState, x_loc, *,
     end — including coherent AM's AGC + carrier-PLL feedback scans
     (reference topology demod.hpp:87-152) — runs with zero further
     communication. Returns (state-with-axes, audio (C1_loc, C2, M))."""
-    Ht, tw, b0, a, amb = params
+    Ht, tw, b0, a, amb, fm_mask = params
     tail_out, Y = tp_channelize_shard(Ht, tw, state.tail, x_loc,
                                       C1=C1, C2=C2, axis_name=axis_name,
                                       os=cfg.channelizer.oversample)
     Yc = jnp.transpose(Y, (1, 2, 0))                    # (C1_loc, C2, M)
+    from ..chains.channelizer import _am_indices, _demod_tuple, _is_mixed
     from ..kernels import iir as kiir
     c1_loc, c2 = Yc.shape[0], Yc.shape[1]
     c_loc = c1_loc * c2
     front, dc = state.front, state.dc
-    if cfg.demod == "fm":
-        xprev = jnp.concatenate([state.fd_prev[:, :, None], Yc[:, :, :-1]],
+    mixed = _is_mixed(cfg)
+
+    def fm_base(y):
+        xprev = jnp.concatenate([state.fd_prev[:, :, None], y[:, :, :-1]],
                                 axis=2)
-        d = Yc * jnp.conj(xprev)
-        base = jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
+        d = y * jnp.conj(xprev)
+        return jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
             TWO_PI * cfg.kd)
-    elif cfg.am_coherent:
+
+    def coherent(y):
         # per-channel feedback loops over the full local time axis — same
         # warmup-chunked kernel as the single-chip bank (chains/
         # channelizer.py bank_step), vmapped over this shard's channels
@@ -307,16 +311,32 @@ def tp_bank_shard(params, state: TPBankState, x_loc, *,
         front_f, (vr, _modes) = jax.vmap(
             lambda s, xs: kab.front_chunked(
                 amb, s, xs, chunk=kwarm.chunk_for(w), warmup=w)
-        )(fl, Yc.reshape(c_loc, -1))
-        front = jax.tree.map(lambda v: v.reshape(c1_loc, c2), front_f)
+        )(fl, y.reshape(c_loc, -1))
+        fr = jax.tree.map(lambda v: v.reshape(c1_loc, c2), front_f)
         dc_f, dct = jax.vmap(
             lambda d0, v: kiir.first_order_apply(
                 1.0 - amb.dc_rho, amb.dc_rho, d0, v)
         )(state.dc.reshape(c_loc), vr)
-        dc = dc_f.reshape(c1_loc, c2)
-        base = ((vr - dct) * amb.inv_mod).reshape(c1_loc, c2, -1)
-    else:
+        return (fr, dc_f.reshape(c1_loc, c2),
+                ((vr - dct) * amb.inv_mod).reshape(c1_loc, c2, -1))
+
+    if not mixed and _demod_tuple(cfg)[0] == "fm":
+        base = fm_base(Yc)
+    elif not mixed and cfg.am_coherent:
+        front, dc, base = coherent(Yc)
+    elif not mixed:
         base = jnp.abs(Yc).astype(jnp.float32)
+    else:
+        # mixed fm/am (EP) with the channel axis SHARDED: the per-shard
+        # AM subgroup is not static, so coherent (when on) runs on every
+        # local row and the (layout-ordered, c1-sharded) mask selects;
+        # non-AM rows are dead compute traded for a uniform program
+        base = jnp.where(fm_mask[:, :, None], fm_base(Yc),
+                         jnp.abs(Yc).astype(jnp.float32))
+        if cfg.am_coherent and _am_indices(cfg):
+            front, dc, coh = coherent(Yc)
+            am_mask = (~fm_mask)[:, :, None]
+            base = jnp.where(am_mask, coh, base)
     fd_prev = Yc[:, :, -1]
     deemph, audio = jax.vmap(
         lambda y0, xs: kiir.first_order_apply(b0, a, y0, xs)
@@ -351,7 +371,16 @@ class ShardedChannelizedBank:
         self.C1, self.C2 = sc.C1, sc.C2
         self.layout_perm = sc.layout_perm
         b0, a = iirdes.deemphasis_coeffs(ccfg.chan_rate, cfg.deemph_tau)
-        coherent = cfg.demod == "am" and cfg.am_coherent
+        from ..chains.channelizer import _am_indices, _is_mixed
+        coherent = cfg.am_coherent and bool(_am_indices(cfg))
+        # mixed fm/am: layout-ordered (C1, C2) mask, c1-sharded like the
+        # channel data (natural->layout via layout_perm)
+        fm_mask = None
+        if _is_mixed(cfg):
+            from ..chains.channelizer import _demod_tuple
+            nat = np.asarray([d == "fm" for d in _demod_tuple(cfg)])
+            fm_mask = jnp.asarray(
+                nat[self.layout_perm].reshape(self.C1, self.C2))
         amb = front0 = dc0 = None
         front_spec = dc_spec = front_out = dc_out = None
         A = self.axis_name
@@ -382,7 +411,8 @@ class ShardedChannelizedBank:
         from ..utils.hostbuild import host_build
 
         def _state():
-            return ((sc.Ht, sc.tw, jnp.float32(b0), jnp.float32(a), amb),
+            return ((sc.Ht, sc.tw, jnp.float32(b0), jnp.float32(a), amb,
+                     fm_mask),
                     TPBankState(
                         tail=sc.tail,
                         fd_prev=jnp.full((self.C1, self.C2), 1.0 + 0.0j,
@@ -399,7 +429,8 @@ class ShardedChannelizedBank:
                          else P(A, None))
         mapped = jax.shard_map(
             body, mesh=mesh,
-            in_specs=((P(), P(None, A), P(), P(), amb_spec),
+            in_specs=((P(), P(None, A), P(), P(), amb_spec,
+                       None if fm_mask is None else P(A, None)),
                       TPBankState(tail=P(), fd_prev=P(A, None),
                                   deemph=P(A, None),
                                   front=front_spec, dc=dc_spec),

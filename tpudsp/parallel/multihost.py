@@ -79,7 +79,8 @@ def scanner_step(params, state: DemodBankState, x_local, *, cfg: ChannelizedBank
     boundary samples come from the left time neighbor (overlap-save
     exchange over ICI/DCN); the leftmost shard uses the block-carried tail."""
     from .halo import left_halo, left_halo_rows
-    Ht, b0, a, amb = params
+    from ..chains.channelizer import _am_indices, _demod_tuple, _is_mixed
+    Ht, b0, a, amb, fm_mask = params
     T, C = Ht.shape
     halo = (T - 1) * C + C - 1
     if x_local.ndim == 2:  # raw-int16 (N_loc, 2) wire samples
@@ -91,23 +92,41 @@ def scanner_step(params, state: DemodBankState, x_local, *, cfg: ChannelizedBank
     Yc = Y.T  # (C, M_loc)
 
     front, dc = state.front, state.dc
-    if cfg.demod == "fm":
-        prev = left_halo(Yc, 1, TIME_AXIS, state.fd_prev[:, None])
-        xprev = jnp.concatenate([prev, Yc[:, :-1]], axis=1)
-        d = Yc * jnp.conj(xprev)
-        base = jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
+    mixed = _is_mixed(cfg)
+    am_idx = _am_indices(cfg)
+
+    def fm_base(y, prev0):
+        prev = left_halo(y, 1, TIME_AXIS, prev0[:, None])
+        xprev = jnp.concatenate([prev, y[:, :-1]], axis=1)
+        d = y * jnp.conj(xprev)
+        return jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
             TWO_PI * cfg.kd)
-    elif cfg.am_coherent:
+
+    def coherent(y, front0, dc0):
         # coherent AM across time shards: warmup halo + chunked front
         # (same scheme as parallel/bank.py)
         from ..kernels.ampmodem import PLL_BW
         from ..kernels.warmup import warmup_for
         from .bank import coherent_am_time_sharded
-        front, dc, base = coherent_am_time_sharded(
-            amb, front, dc, Yc,
+        return coherent_am_time_sharded(
+            amb, front0, dc0, y,
             warmup=warmup_for(agc_alpha=cfg.agc_bandwidth, pll_bw=PLL_BW))
-    else:
+
+    if not mixed and _demod_tuple(cfg)[0] == "fm":
+        base = fm_base(Yc, state.fd_prev)
+    elif not mixed and cfg.am_coherent:
+        front, dc, base = coherent(Yc, front, dc)
+    elif not mixed:
         base = jnp.abs(Yc).astype(jnp.float32)
+    else:
+        # mixed fm/am (EP): channels are LOCAL on the time-sharded mesh,
+        # so the coherent back end gathers its static AM subgroup
+        base = jnp.where(fm_mask[:, None], fm_base(Yc, state.fd_prev),
+                         jnp.abs(Yc).astype(jnp.float32))
+        if cfg.am_coherent and am_idx:
+            idx = jnp.asarray(am_idx)
+            front, dc, coh = coherent(Yc[idx, :], front, dc)
+            base = base.at[idx].set(coh)
 
     # de-emphasis across time shards: local assoc scan + tiny cross-shard
     # prefix of transition aggregates (same pattern as parallel/bank.py)
