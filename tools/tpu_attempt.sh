@@ -14,6 +14,16 @@
 set -u
 repo="$(cd "$(dirname "$0")/.." && pwd)"
 log="${TPU_ATTEMPT_LOG:-/tmp/tpu_attempt.log}"
+# the axon TPU backend registers via sitecustomize in /root/.axon_site;
+# background shells (and callers exporting their own PYTHONPATH) can
+# lose it -- losing it makes every probe fail with "Unable to
+# initialize backend 'axon'", so pin it here
+if [ -d /root/.axon_site ]; then
+  case ":${PYTHONPATH:-}:" in
+    *:/root/.axon_site:*) ;;
+    *) export PYTHONPATH="/root/.axon_site${PYTHONPATH:+:$PYTHONPATH}" ;;
+  esac
+fi
 args=("$@")
 [ ${#args[@]} -eq 0 ] && args=(--all --resume --require-tpu)
 
