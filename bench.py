@@ -345,7 +345,9 @@ def _bench_secondary(log, rate_stream, small: bool = False, flush=None,
         jnp.round(jnp.stack([v.real, v.imag], axis=1) * 127.5 + 127.5),
         0, 255).astype(jnp.uint8))
 
-    from tpudsp.chains.bank import BankConfig, build as bbuild, bank_step
+    from tpudsp.chains.bank import BankConfig, build as _bbuild, bank_step
+    from tpudsp.utils.hostbuild import host_build
+    bbuild = partial(host_build, _bbuild)
 
     guard = partial(_row_guard, flush=flush, resume=resume)
 
@@ -400,7 +402,8 @@ def _bench_secondary(log, rate_stream, small: bool = False, flush=None,
 
     # config 4: 1024-channel channelized bank (c64 and raw wire ingest)
     from tpudsp.chains.channelizer import (
-        ChannelizedBankConfig, bank_build, bank_step as chstep)
+        ChannelizedBankConfig, bank_build as _cbuild, bank_step as chstep)
+    bank_build = partial(host_build, _cbuild)
     ccfg = ChannelizedBankConfig()
     nc = 1024 * (2048 if small else 16384)
     xc = noise_iq(nc, seed=4)
@@ -484,7 +487,9 @@ def _impl(platform: str):
             pass
     import jax.numpy as jnp
     from functools import partial
-    from tpudsp.chains.am import AMConfig, build, am_step_fused
+    from tpudsp.chains.am import AMConfig, build as _abuild, am_step_fused
+    from tpudsp.utils.hostbuild import host_build
+    build = partial(host_build, _abuild)
 
     dev = jax.devices()[0]
     hbm_peak = _hbm_peak(dev.device_kind) if dev.platform == "tpu" else None
@@ -498,19 +503,20 @@ def _impl(platform: str):
         log(f"resume: reusing {len(resume)} prior {dev.platform} rows: "
             f"{sorted(resume)}")
 
-    # 8 s of IQ at 2 Msps (128 MB on device; block*rate = 384000
-    # outputs): large blocks amortize dispatch until the chain is
-    # HBM-bandwidth-bound. The relay sometimes wedges on large single
-    # executions, so on TPU the headline config DESCENDS through block
-    # sizes until one measures cleanly (same loop, same safeguards; the
-    # winning size is recorded in the row).
+    # Block size: per-dispatch work is block * iters with the traced-
+    # bound fori_loop auto-scaling iters, so dispatch overhead amortizes
+    # at ANY block size -- the block only sets the single-execution
+    # footprint. The relay wedges d2h after big single executions
+    # (measured 2026-08-21: a healthy probe, then the first 16M-block
+    # job's warmup fetch died UNIMPLEMENTED), so on TPU start MODEST and
+    # descend; the winning size is recorded in the row.
     if os.environ.get("TPUDSP_BENCH_BLOCK"):
         b = int(os.environ["TPUDSP_BENCH_BLOCK"])
         blocks = [b - b % 125]  # keep the 48k/2M output count integral
     elif cpu_fallback:
         blocks = [2_000_000]
     else:
-        blocks = [16_000_000, 4_000_000, 1_000_000]
+        blocks = [4_000_000, 1_000_000, 250_000]
 
     rate_stream = _make_rate_stream(log, hbm_peak)
     if cpu_fallback:
@@ -724,6 +730,14 @@ def main():
         if rc in (124, 137):
             log("  (deadline expiry -- leave the relay quiet before the "
                 "next attempt)")
+        elif "UNIMPLEMENTED" in err and platform != "cpu":
+            # the relay is wedged; an immediate retry inherits the wedge.
+            # Partial recoveries have been observed after a few minutes
+            # of quiet -- cheap relative to a doomed 20-min attempt.
+            log("  relay wedge reported; quiet 300s before the next "
+                "attempt")
+            import time
+            time.sleep(300)
     log("all bench attempts failed"
         + (" (--require-tpu: no CPU fallback)" if require_tpu else ""))
     sys.exit(1)
