@@ -233,3 +233,35 @@ def test_stream_runtime_drives_sharded_scanner_from_wire_bytes():
     peak = np.fft.rfftfreq(len(ch5), C / fs)[np.argmax(spec)]
     assert abs(peak - 0.001 * fs) < 0.02 * fs / C, peak
     assert np.isfinite(audio).all()
+
+
+def test_stream_runtime_stereo_wire_format():
+    """WBFM stereo chain fed raw RTL-SDR bytes through the runtime
+    ('uint8_raw' + input_format='u8'): (M, 2) PCM comes out and matches
+    serial block calls on the same wire bytes exactly."""
+    import numpy as np
+    from tpudsp.chains.wbfm import WBFMStereoReceiver
+    from tpudsp.io import StreamRuntime
+
+    n = 100_000
+    fs = 2_400_000.0
+    t = np.arange(2 * n)
+    f_p = 19000.0 / fs
+    comp = (np.sin(2 * np.pi * 700.0 / fs * t)
+            + 0.1 * np.cos(2 * np.pi * f_p * t)) * 0.008
+    x = np.exp(1j * 2 * np.pi * np.cumsum(comp) * 4.0).astype(np.complex64)
+    wire = np.clip(np.round(np.stack([x.real, x.imag], axis=1)
+                            * 127.5 + 127.5), 0, 255).astype(np.uint8)
+
+    rx = WBFMStereoReceiver(block_len=n, input_format="u8")
+    rt = StreamRuntime(rx, sample_format="uint8_raw")
+    rt.push(wire.tobytes())
+    rt.stop(drain=True)
+    streamed = np.concatenate(list(rt), axis=0)
+
+    rx2 = WBFMStereoReceiver(block_len=n, input_format="u8")
+    serial = np.concatenate(
+        [np.asarray(rx2(wire[:n])), np.asarray(rx2(wire[n:]))], axis=0)
+    assert streamed.shape == serial.shape
+    assert streamed.shape[1] == 2
+    assert np.array_equal(streamed, serial)
