@@ -159,7 +159,9 @@ def _make_rate_stream(log, hbm_peak):
         # convert_element_type ops (transfers keep working in wedge
         # mode).
         salts = [jax.device_put(np.float32(r)) for r in range(-1, repeats)]
-        iters_dev = {iters: jax.device_put(np.int32(iters))}
+        iters_dev = {0: jax.device_put(np.int32(0)),
+                     1: jax.device_put(np.int32(1)),
+                     iters: jax.device_put(np.int32(iters))}
 
         def fetch_scalar(a, what):
             """d2h of a 4-byte scalar: the only trustworthy completion
@@ -173,16 +175,24 @@ def _make_rate_stream(log, hbm_peak):
                     "in this relay state completion syncs are "
                     "untrustworthy") from None
 
-        # warmup: compile + steady-state the carried state, then PROVE
-        # completion with a fetch before anything is timed
+        # Warmup as an ESCALATION ladder, each step proven by a scalar
+        # fetch, so a wedge names its trigger: (1) trivial-program
+        # dispatch+fetch (d2h alive at all), (2) the chain program
+        # compiled but run with a ZERO-trip loop (does the COMPILE wedge
+        # it?), (3) one real iteration (does the EXECUTION wedge it?),
+        # (4) the full warmup.
+        tiny = jax.jit(lambda s, a: s + 0.0 * a)
+        fetch_scalar(tiny(salts[0], salts[0]), "pre-compile probe")
+        st, acc = many(params, state0, x, salts[0], iters_dev[0])
+        fetch_scalar(acc, "post-compile zero-work")
+        st, acc = many(params, state0, x, salts[0], iters_dev[1])
+        fetch_scalar(acc, "single-iteration")
         st, acc = many(params, state0, x, salts[0], iters_dev[iters])
         acc_h = fetch_scalar(acc, "warmup")
 
         # fetch round-trip latency: dispatch of a trivial jitted op plus
         # the scalar d2h -- exactly the overhead the timed region pays
         # once per repeat. min-of-3 (want the floor, not the noise).
-        tiny = jax.jit(lambda s, a: s + 0.0 * a)
-        fetch_scalar(tiny(salts[0], acc), "latency-probe")  # compile
         lat = []
         for k in range(3):
             t0 = time.perf_counter()
@@ -192,7 +202,9 @@ def _make_rate_stream(log, hbm_peak):
 
         # calibration: one fetch-forced repeat at the requested iters;
         # grow the per-dispatch iteration count until the fetch round
-        # trip is <3% of the timed region (traced bound: no recompile)
+        # trip is <3% of the timed region (traced bound: no recompile).
+        # Ceiling: keep a single execution under ~1 s wall -- very long
+        # executions are suspected relay-wedge triggers.
         def timed_repeat(s_in, salt, n_it):
             t0 = time.perf_counter()
             s_out, a_out = many(params, s_in, x, salt, n_it)
@@ -201,11 +213,12 @@ def _make_rate_stream(log, hbm_peak):
 
         st, a_h, wall = timed_repeat(st, salts[0], iters_dev[iters])
         per_block = max(wall - fetch_lat, 1e-9) / iters
-        want = int(min(max_iters,
+        want = int(min(max_iters, max(1.0, 1.0 / per_block),
                        max(iters, np.ceil(30.0 * fetch_lat / per_block))))
         if want != iters:
             log(f"{name}: scaling timed region {iters} -> {want} "
-                f"iters/dispatch (fetch round-trip {fetch_lat*1e3:.1f} ms)")
+                f"iters/dispatch (fetch round-trip {fetch_lat*1e3:.1f} ms, "
+                f"~{per_block*1e3:.2f} ms/block)")
             iters = want
             iters_dev[iters] = jax.device_put(np.int32(iters))
 
@@ -552,12 +565,23 @@ def _impl(platform: str):
         iq_j = _gen_iq(block)
     else:
         for bi, block in enumerate(blocks):
-            params, state, _ = build(cfg, block)
-            iq_j = _gen_iq(block)
             trial = []
-            ok = guard(log, trial, 1, c64_name, lambda: rate_stream(
-                c64_name, partial(am_step_fused, cfg=cfg, exact=False),
-                params, state, iq_j, block))
+            try:
+                params, state, _ = build(cfg, block)
+                iq_j = _gen_iq(block)
+            except Exception as e:
+                # a wedged relay can kill even the jitted input synthesis;
+                # that fails THIS block size, not the whole run
+                msg = f"{type(e).__name__}: {str(e)[:160]}"
+                log(f"{c64_name} block {block} setup failed: {msg}")
+                trial.append({"name": c64_name, "config": 1, "error": msg})
+                if flush:
+                    flush(trial)
+                ok = False
+            else:
+                ok = guard(log, trial, 1, c64_name, lambda: rate_stream(
+                    c64_name, partial(am_step_fused, cfg=cfg, exact=False),
+                    params, state, iq_j, block))
             if ok or bi == len(blocks) - 1:
                 rows += trial
                 break
