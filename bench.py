@@ -96,17 +96,28 @@ def _hbm_peak(device_kind: str):
 
 
 def _make_rate_stream(log, hbm_peak):
-    """Streaming-throughput measurer: ONE dispatch running `iters` blocks
-    chained through the carried state on device (lax.fori_loop with a
-    TRACED trip count, so the iteration count can be tuned per row
-    without recompiling). Host-side repeated dispatches of the same
-    executable measure artifactually fast through the remote tunnel, so
-    per-block timing comes from a device-side loop whose completion is
-    proven by a host fetch of a result-dependent scalar. Each
-    iteration's input is derotated by a carry-dependent phase: distinct
-    bytes per iteration (no intra-dispatch CSE/reuse) and a data
-    dependency that forces real sequential execution. The audio-sum
-    carry also keeps the demod work live against DCE."""
+    """Streaming-throughput measurer, wedge-shaped for this relay.
+
+    Measured relay behavior (2026-08-21, escalation-ladder telemetry):
+    compile, a zero-trip execution and a SINGLE 4M-sample chain
+    iteration all complete with verified d2h fetches, but one 10-
+    iteration (40M-sample) execution wedges the d2h path. So the
+    measurement never builds long executions: per-dispatch work is
+    capped (`work_cap` samples through the traced fori_loop bound) and
+    throughput comes from a chain of short dispatches linked through
+    the carried state, with the clock stopped by a fetch of a scalar
+    that depends on the LAST dispatch's audio. Group sizes escalate
+    (1, 2, 4, ... dispatches per fetch) so when a bigger group does
+    trip the relay, the already-collected smaller-group measurements
+    still produce a row.
+
+    Honesty properties carried over from rounds 2-3: every iteration's
+    input is derotated by a phase depending on the previous iteration's
+    audio (distinct bytes, forced sequential execution, demod kept live
+    against DCE); host timing only ever ends at a verified 4-byte d2h
+    (block_until_ready can return without completion on this relay);
+    the implied HBM ingest rate is checked against the chip's roofline
+    and an impossible number FAILS the row."""
     import time
     import numpy as np
     import jax
@@ -115,14 +126,15 @@ def _make_rate_stream(log, hbm_peak):
 
     def rate_stream(name, step, params, state0, x, n_samples,
                     iters=10, repeats=5, bytes_per_sample=8,
-                    max_iters=512):
+                    work_cap=None, max_group=64, max_wall=1.0):
         # params/state/x are jit ARGUMENTS (closure-captured device
         # arrays would be inlined as MLIR constants, which fetches them
         # to host -- unsupported through the remote backend). Every
-        # dispatch additionally carries a fresh `salt` scalar folded into
-        # the per-iteration input perturbation so no two timed dispatches
-        # are identical. bytes_per_sample: HBM bytes per IQ sample read
-        # once (8 = complex64; 4 = raw interleaved int16; 2 = raw u8).
+        # dispatch carries a salt scalar folded into the per-iteration
+        # input perturbation; successive dispatches chain the carried
+        # (state, acc), so inputs stay distinct even at equal salts.
+        # bytes_per_sample: HBM bytes per IQ sample read once
+        # (8 = complex64; 4 = raw interleaved int16; 2 = raw u8).
         integer_input = jnp.issubdtype(x.dtype, jnp.integer)
 
         def perturb(v, i, acc, salt):
@@ -147,25 +159,24 @@ def _make_rate_stream(log, hbm_peak):
                 return s2, acc + da
 
             # traced trip count -> lowered as a while_loop; lets the
-            # measurement scale its timed region without a recompile
+            # measurement pick its per-dispatch work without recompiling
             return lax.fori_loop(0, n_iters, body, (st, salt))
 
-        # EVERY host->device constant is created up front: after a big
-        # execution the relay can enter a partial-wedge where new eager
-        # requests and d2h transfers fail UNIMPLEMENTED while already-
-        # compiled executions keep working -- the timed loop needs
-        # nothing but dispatches plus the integrity fetch that proves
-        # them. device_put of numpy scalars: pure transfers, not eager
-        # convert_element_type ops (transfers keep working in wedge
-        # mode).
+        # per-dispatch iteration count under the work cap
+        n_it = iters if work_cap is None else max(
+            1, min(iters, int(work_cap) // int(n_samples)))
+
+        # EVERY host->device constant is created up front: in the relay's
+        # partial-wedge new eager requests fail while compiled executions
+        # keep running -- the timed loop needs nothing but dispatches
+        # plus the integrity fetches. device_put = pure transfer.
         salts = [jax.device_put(np.float32(r)) for r in range(-1, repeats)]
-        iters_dev = {0: jax.device_put(np.int32(0)),
-                     1: jax.device_put(np.int32(1)),
-                     iters: jax.device_put(np.int32(iters))}
+        nit_dev = {k: jax.device_put(np.int32(k)) for k in {0, 1, n_it}}
 
         def fetch_scalar(a, what):
             """d2h of a 4-byte scalar: the only trustworthy completion
-            witness on this relay. Failure -> the row is INVALID."""
+            witness on this relay. Failure -> the measurement step is
+            invalid."""
             try:
                 return np.asarray(a)
             except Exception as e:
@@ -177,22 +188,22 @@ def _make_rate_stream(log, hbm_peak):
 
         # Warmup as an ESCALATION ladder, each step proven by a scalar
         # fetch, so a wedge names its trigger: (1) trivial-program
-        # dispatch+fetch (d2h alive at all), (2) the chain program
-        # compiled but run with a ZERO-trip loop (does the COMPILE wedge
-        # it?), (3) one real iteration (does the EXECUTION wedge it?),
-        # (4) the full warmup.
+        # dispatch+fetch, (2) the chain program compiled but run with a
+        # ZERO-trip loop (does the COMPILE wedge it?), (3) one real
+        # iteration (does a single execution wedge it?), (4) n_it
+        # iterations (the per-dispatch work the timing will use).
         tiny = jax.jit(lambda s, a: s + 0.0 * a)
         fetch_scalar(tiny(salts[0], salts[0]), "pre-compile probe")
-        st, acc = many(params, state0, x, salts[0], iters_dev[0])
+        st, acc = many(params, state0, x, salts[0], nit_dev[0])
         fetch_scalar(acc, "post-compile zero-work")
-        st, acc = many(params, state0, x, salts[0], iters_dev[1])
+        st, acc = many(params, state0, x, salts[0], nit_dev[1])
         fetch_scalar(acc, "single-iteration")
-        st, acc = many(params, state0, x, salts[0], iters_dev[iters])
-        acc_h = fetch_scalar(acc, "warmup")
+        if n_it > 1:
+            st, acc = many(params, st, x, salts[0], nit_dev[n_it])
+            fetch_scalar(acc, f"warmup ({n_it} iters/dispatch)")
 
-        # fetch round-trip latency: dispatch of a trivial jitted op plus
-        # the scalar d2h -- exactly the overhead the timed region pays
-        # once per repeat. min-of-3 (want the floor, not the noise).
+        # fetch round-trip latency: trivial dispatch + scalar d2h --
+        # exactly the overhead each timed group pays once. min-of-3.
         lat = []
         for k in range(3):
             t0 = time.perf_counter()
@@ -200,35 +211,51 @@ def _make_rate_stream(log, hbm_peak):
             lat.append(time.perf_counter() - t0)
         fetch_lat = min(lat)
 
-        # calibration: one fetch-forced repeat at the requested iters;
-        # grow the per-dispatch iteration count until the fetch round
-        # trip is <3% of the timed region (traced bound: no recompile).
-        # Ceiling: keep a single execution under ~1 s wall -- very long
-        # executions are suspected relay-wedge triggers.
-        def timed_repeat(s_in, salt, n_it):
+        def timed_group(s_in, G, si):
+            """G chained dispatches of n_it iterations each + ONE fetch:
+            wall covers real execution of G*n_it blocks (the final
+            scalar depends on every one through the carry)."""
             t0 = time.perf_counter()
-            s_out, a_out = many(params, s_in, x, salt, n_it)
-            a_h = fetch_scalar(a_out, "timing")
-            return s_out, a_h, time.perf_counter() - t0
+            s = s_in
+            for g in range(G):
+                s, a_out = many(params, s, x, salts[(si + g) % len(salts)],
+                                nit_dev[n_it])
+            a_h = fetch_scalar(a_out, f"timing (group {G})")
+            return s, a_h, time.perf_counter() - t0
 
-        st, a_h, wall = timed_repeat(st, salts[0], iters_dev[iters])
-        per_block = max(wall - fetch_lat, 1e-9) / iters
-        want = int(min(max_iters, max(1.0, 1.0 / per_block),
-                       max(iters, np.ceil(30.0 * fetch_lat / per_block))))
-        if want != iters:
-            log(f"{name}: scaling timed region {iters} -> {want} "
-                f"iters/dispatch (fetch round-trip {fetch_lat*1e3:.1f} ms, "
-                f"~{per_block*1e3:.2f} ms/block)")
-            iters = want
-            iters_dev[iters] = jax.device_put(np.int32(iters))
-
-        times = []
-        accs = []
-        for r in range(repeats):
-            st, a_h, wall = timed_repeat(st, salts[r + 1], iters_dev[iters])
-            times.append(wall / iters)  # conservative: includes 1 fetch
-            accs.append(a_h)
-        if not all(np.isfinite(a) for a in accs + [acc_h, a_h]):
+        # group-size escalation: each successful group IS a measurement;
+        # stop growing at max_group or ~max_wall per group, and on a
+        # relay failure fall back to what is already banked
+        results = []  # (G, wall, accs)
+        G = 1
+        try:
+            while True:
+                st, a_h, wall = timed_group(st, G, len(results))
+                results.append((G, wall, a_h))
+                if (G >= max_group or wall >= max_wall
+                        or (fetch_lat < 0.03 * wall and G >= 4)):
+                    break
+                G *= 2
+        except RuntimeError as e:
+            if len(results) < 2:
+                raise
+            log(f"{name}: group escalation stopped early ({e}); "
+                f"keeping G={results[-1][0]}")
+        Gm, _, _ = results[-1]
+        # repeats at the chosen group size (first = the banked one)
+        times = [results[-1][1] / (Gm * n_it)]
+        accs = [results[-1][2]]
+        try:
+            for r in range(repeats - 1):
+                st, a_h, wall = timed_group(st, Gm, r)
+                times.append(wall / (Gm * n_it))
+                accs.append(a_h)
+        except RuntimeError as e:
+            if len(times) < 2:
+                raise
+            log(f"{name}: repeats stopped early ({e}); "
+                f"keeping {len(times)} measurements")
+        if not all(np.isfinite(a) for a in accs):
             raise RuntimeError(f"{name}: non-finite audio accumulator "
                                "(chain produced NaN/Inf under bench)")
         finite_check = "ok"
@@ -243,7 +270,9 @@ def _make_rate_stream(log, hbm_peak):
             "value": round(sps, 1),
             "unit": "samples/s",
             "block": int(n_samples),
-            "iters": int(iters),
+            "iters_per_dispatch": int(n_it),
+            "dispatch_group": int(Gm),
+            "n_times": len(times),
             "input_bytes_per_sample": int(bytes_per_sample),
             "ms_per_block_median": round(median * 1e3, 4),
             "ms_per_block_best": round(times[0] * 1e3, 4),
@@ -257,8 +286,8 @@ def _make_rate_stream(log, hbm_peak):
                                   if hbm_peak else None),
         }
         log(f"{name}: {median*1e3:.3f} ms median ({times[0]*1e3:.3f} best, "
-            f"spread {row['spread_pct']}%) -> {sps/1e9:.2f} Gsamp/s; "
-            f"implied input {implied/1e9:.0f} GB/s"
+            f"spread {row['spread_pct']}%, G={Gm}x{n_it}) -> "
+            f"{sps/1e9:.2f} Gsamp/s; implied input {implied/1e9:.0f} GB/s"
             + (f" = {implied/hbm_peak:.0%} of HBM peak" if hbm_peak else ""))
         if hbm_peak and implied > hbm_peak:
             raise RuntimeError(
@@ -534,6 +563,13 @@ def _impl(platform: str):
     rate_stream = _make_rate_stream(log, hbm_peak)
     if cpu_fallback:
         rate_stream = partial(rate_stream, iters=3, repeats=3)
+    else:
+        # measured-safe single-execution work on this relay: one 4M-
+        # sample chain iteration completes with a verified fetch, a 40M
+        # one wedges d2h (see _make_rate_stream). Override to probe.
+        rate_stream = partial(
+            rate_stream,
+            work_cap=int(os.environ.get("TPUDSP_BENCH_WCAP", 4_000_000)))
 
     # AM test signal synthesized ON DEVICE (the relay rejects large
     # host->device transfers; the bench performs none beyond params)
@@ -617,9 +653,13 @@ def _impl(platform: str):
     guard(log, rows, 1, "am_chain_fused_u8", row_u8)
 
     if "--all" in sys.argv:
+        # TPU also runs the smaller secondary blocks: every one then fits
+        # the measured-safe per-execution work cap (TPUDSP_BENCH_BIG=1 to
+        # probe the large blocks once the relay tolerates them)
         rows += _bench_secondary(
             log, rate_stream,
-            small=cpu_fallback or bool(os.environ.get("TPUDSP_BENCH_SMALL")),
+            small=cpu_fallback or bool(os.environ.get("TPUDSP_BENCH_SMALL"))
+            or not os.environ.get("TPUDSP_BENCH_BIG"),
             flush=lambda extra: flush(rows + extra), resume=resume)
     ok1 = [r for r in rows if r.get("config") == 1 and "error" not in r]
     row = max(ok1, key=lambda r: r["value"]) if ok1 else None
