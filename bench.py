@@ -512,6 +512,55 @@ def _load_resume(platform: str):
             and "value" in r}
 
 
+class _Heartbeat:
+    """Background keepalive: a tiny jitted dispatch + 4-byte fetch every
+    `period` seconds. Purpose is diagnostic AND protective: the relay's
+    d2h path has died ~3-7 minutes into a claim while the client was
+    busy in a long remote compile (no traffic) -- the heartbeat keeps
+    traffic flowing and records exactly when the path dies."""
+
+    def __init__(self, period=8.0):
+        import threading
+        import time
+        import numpy as np
+        import jax
+        self._stop = threading.Event()
+        self.period = period
+        self.t0 = time.time()
+        self.last_ok = None
+        self.first_fail = None
+        x = jax.device_put(np.float32(1.0))
+        f = jax.jit(lambda v: v + 1.0)
+        float(np.asarray(f(x)))  # compile + first fetch on caller thread
+
+        def run():
+            while not self._stop.wait(self.period):
+                try:
+                    float(np.asarray(f(x)))
+                    self.last_ok = time.time() - self.t0
+                except Exception as e:
+                    if self.first_fail is None:
+                        self.first_fail = (round(time.time() - self.t0, 1),
+                                           f"{type(e).__name__}: "
+                                           f"{str(e)[:80]}")
+                    return  # one death is the signal; stop probing
+
+        self._th = threading.Thread(target=run, name="tpudsp-heartbeat",
+                                    daemon=True)
+        self._th.start()
+
+    def report(self, log):
+        if self.first_fail:
+            t, msg = self.first_fail
+            log(f"heartbeat: d2h died {t}s after claim ({msg}); "
+                f"last ok at {self.last_ok and round(self.last_ok, 1)}s")
+        elif self.last_ok:
+            log(f"heartbeat: alive through {round(self.last_ok, 1)}s")
+
+    def stop(self):
+        self._stop.set()
+
+
 def _impl(platform: str):
     """Runs in the subprocess: measure and print one JSON line."""
     import numpy as np
@@ -527,6 +576,17 @@ def _impl(platform: str):
             jax.config.update("jax_platforms", "axon,cpu")
         except Exception:
             pass
+    # persistent compile cache: the remote compile of each chain program
+    # costs 1-3 min of claim time with zero relay traffic -- exactly the
+    # window where the d2h path has been dying. Cached executables get a
+    # retry attempt to its first verified fetch within seconds.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("TPUDSP_JAX_CACHE",
+                                         "/tmp/tpudsp_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        log(f"compile cache unavailable: {e}")
     import jax.numpy as jnp
     from functools import partial
     from tpudsp.chains.am import AMConfig, build as _abuild, am_step_fused
@@ -537,6 +597,13 @@ def _impl(platform: str):
     hbm_peak = _hbm_peak(dev.device_kind) if dev.platform == "tpu" else None
     log(f"device: {dev.device_kind} ({dev.platform}), HBM peak "
         f"{'%.0f GB/s' % (hbm_peak/1e9) if hbm_peak else 'unknown'}")
+    hb = None
+    if dev.platform == "tpu" and not os.environ.get(
+            "TPUDSP_BENCH_NO_HEARTBEAT"):
+        try:
+            hb = _Heartbeat()
+        except Exception as e:
+            log(f"heartbeat unavailable: {type(e).__name__}: {str(e)[:80]}")
 
     cfg = AMConfig()
     cpu_fallback = dev.platform != "tpu"
@@ -676,6 +743,9 @@ def _impl(platform: str):
         flush(rows)
         log(f"wrote {len(rows)} config rows to {_ALL_JSON}"
             + (f" ({len(failed)} FAILED: {failed})" if failed else ""))
+    if hb is not None:
+        hb.report(log)
+        hb.stop()
 
     if row is None:
         log("config-1 measurement failed on every variant")
