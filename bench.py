@@ -379,6 +379,17 @@ def _bench_secondary(log, rate_stream, small: bool = False, flush=None,
                     ).astype(jnp.complex64)
         return jax.block_until_ready(jax.jit(g)())
 
+    # LAZY, memoized input synthesis: generation happens inside the
+    # guarded row functions, so a wedged relay failing the jitted
+    # synthesis yields an error ROW, not an unguarded abort of every
+    # remaining config (observed 07:04: noise_iq killed _bench_secondary)
+    _inputs = {}
+
+    def lazy_iq(key, n, seed):
+        if key not in _inputs:
+            _inputs[key] = noise_iq(n, seed=seed)
+        return _inputs[key]
+
     to_i16 = jax.jit(lambda v: jnp.stack(
         [jnp.clip(jnp.round(v.real * 32767), -32767, 32767),
          jnp.clip(jnp.round(v.imag * 32767), -32767, 32767)],
@@ -397,14 +408,13 @@ def _bench_secondary(log, rate_stream, small: bool = False, flush=None,
     # bank, wrapper.cpp:265 rates scaled to the 2.4M input) and stereo
     # (600k composite decode + 48k two-phase decimation)
     n2 = 500_000 if small else 2_000_000  # stereo scans stay integral
-    x2 = noise_iq(n2, seed=2)
 
     def row_wbfm_mono():
         cfg_m = BankConfig(freqs=(0.0,), iq_rate=2_400_000.0, demod="fm",
                            decim1=10, decim2=5, kd=75_000.0 / 240_000.0)
         pm, sm = bbuild(cfg_m)
         return rate_stream("wbfm_mono", partial(bank_step, cfg=cfg_m),
-                           pm, sm, x2, n2)
+                           pm, sm, lazy_iq("x2", n2, 2), n2)
 
     def row_wbfm_stereo():
         from tpudsp.chains.wbfm import WBFMStereoReceiver, _stereo_step
@@ -412,7 +422,7 @@ def _bench_secondary(log, rate_stream, small: bool = False, flush=None,
         return rate_stream(
             "wbfm_stereo",
             lambda p, st, v: _stereo_step(p, st, v, cfg=rx2s.cfg),
-            rx2s._params, rx2s.state, x2, n2)
+            rx2s._params, rx2s.state, lazy_iq("x2", n2, 2), n2)
 
     guard(log, rows, 2, "wbfm_mono", row_wbfm_mono)
     guard(log, rows, 2, "wbfm_stereo", row_wbfm_stereo)
@@ -421,22 +431,23 @@ def _bench_secondary(log, rate_stream, small: bool = False, flush=None,
     cfg16 = BankConfig(freqs=tuple(float(f) for f in
                                    np.linspace(-1e6, 1e6, 16, endpoint=False)))
     n = 2_000_000 if small else 8_000_000
-    x = noise_iq(n, seed=3)
 
     def row_bank16():
         p, st = bbuild(cfg16)
         return rate_stream("bank16", partial(bank_step, cfg=cfg16),
-                           p, st, x, n)
+                           p, st, lazy_iq("x", n, 3), n)
 
     def row_bank16_i16():
         pi, si = bbuild(cfg16, input_format="i16")
         return rate_stream("bank16_i16", partial(bank_step, cfg=cfg16),
-                           pi, si, to_i16(x), n, bytes_per_sample=4)
+                           pi, si, to_i16(lazy_iq("x", n, 3)), n,
+                           bytes_per_sample=4)
 
     def row_bank16_u8():
         pu, su = bbuild(cfg16, input_format="u8")
         return rate_stream("bank16_u8", partial(bank_step, cfg=cfg16),
-                           pu, su, to_u8(x), n, bytes_per_sample=2)
+                           pu, su, to_u8(lazy_iq("x", n, 3)), n,
+                           bytes_per_sample=2)
 
     guard(log, rows, 3, "bank16", row_bank16)
     guard(log, rows, 3, "bank16_i16", row_bank16_i16)
@@ -448,23 +459,25 @@ def _bench_secondary(log, rate_stream, small: bool = False, flush=None,
     bank_build = partial(host_build, _cbuild)
     ccfg = ChannelizedBankConfig()
     nc = 1024 * (2048 if small else 16384)
-    xc = noise_iq(nc, seed=4)
 
     def row_ch():
         cp, cs = bank_build(ccfg)
         return rate_stream("channelized_1024ch",
-                           partial(chstep, cfg=ccfg), cp, cs, xc, nc)
+                           partial(chstep, cfg=ccfg), cp, cs,
+                           lazy_iq("xc", nc, 4), nc)
 
     def row_ch_i16():
         cpi, csi = bank_build(ccfg, input_format="i16")
         return rate_stream("channelized_1024ch_i16",
-                           partial(chstep, cfg=ccfg), cpi, csi, to_i16(xc),
+                           partial(chstep, cfg=ccfg), cpi, csi,
+                           to_i16(lazy_iq("xc", nc, 4)),
                            nc, bytes_per_sample=4)
 
     def row_ch_u8():
         cpu_, csu = bank_build(ccfg, input_format="u8")
         return rate_stream("channelized_1024ch_u8",
-                           partial(chstep, cfg=ccfg), cpu_, csu, to_u8(xc),
+                           partial(chstep, cfg=ccfg), cpu_, csu,
+                           to_u8(lazy_iq("xc", nc, 4)),
                            nc, bytes_per_sample=2)
 
     def row_ch_conv():
@@ -476,7 +489,8 @@ def _bench_secondary(log, rate_stream, small: bool = False, flush=None,
                                                    engine="conv"))
         cp2, cs2 = bank_build(ccfg_c)
         return rate_stream("channelized_1024ch_conv",
-                           partial(chstep, cfg=ccfg_c), cp2, cs2, xc, nc)
+                           partial(chstep, cfg=ccfg_c), cp2, cs2,
+                           lazy_iq("xc", nc, 4), nc)
 
     guard(log, rows, 4, "channelized_1024ch", row_ch)
     guard(log, rows, 4, "channelized_1024ch_conv", row_ch_conv)
@@ -492,7 +506,7 @@ def _bench_secondary(log, rate_stream, small: bool = False, flush=None,
         sc = ShardedScanner(ccfg, make_mesh(1, 1), block_len=nc)
         return rate_stream("scanner_1chip",
                            lambda p_, st, v: sc._step(p_, st, v),
-                           sc.params, sc.state, xc, nc)
+                           sc.params, sc.state, lazy_iq("xc", nc, 4), nc)
 
     guard(log, rows, 5, "scanner_1chip", row_scanner)
     return rows
@@ -543,6 +557,11 @@ class _Heartbeat:
                         self.first_fail = (round(time.time() - self.t0, 1),
                                            f"{type(e).__name__}: "
                                            f"{str(e)[:80]}")
+                        # log NOW: the main thread may die unguarded
+                        # before any end-of-run report
+                        log(f"heartbeat: d2h died {self.first_fail[0]}s "
+                            f"after claim ({self.first_fail[1]}); last ok "
+                            f"{self.last_ok and round(self.last_ok, 1)}s")
                     return  # one death is the signal; stop probing
 
         self._th = threading.Thread(target=run, name="tpudsp-heartbeat",
