@@ -186,6 +186,17 @@ def _make_rate_stream(log, hbm_peak):
                     "in this relay state completion syncs are "
                     "untrustworthy") from None
 
+        if _WARM_ONLY[0]:
+            # compile-cache warming: remote compiles WORK while the relay
+            # is d2h-wedged, and the persistent cache (jax_compilation_
+            # cache_dir) serializes the executables -- so wedge downtime
+            # spent here lets a later healthy-window run reach verified
+            # fetches in seconds instead of after minutes-long compiles
+            many.lower(params, state0, x, salts[0],
+                       nit_dev[n_it]).compile()
+            log(f"{name}: program compiled + cached (warm-only)")
+            return {"name": name, "warmed": True}
+
         # Warmup as an ESCALATION ladder, each step proven by a scalar
         # fetch, so a wedge names its trigger: (1) trivial-program
         # dispatch+fetch, (2) the chain program compiled but run with a
@@ -301,6 +312,7 @@ def _make_rate_stream(log, hbm_peak):
 
 
 _WEDGE_STREAK = {"n": 0}
+_WARM_ONLY = [False]  # --warm-only: compile+cache every program, no fetches
 
 
 def _row_guard(log, rows, config, name, fn, backoff=90, flush=None,
@@ -617,8 +629,12 @@ def _impl(platform: str):
     log(f"device: {dev.device_kind} ({dev.platform}), HBM peak "
         f"{'%.0f GB/s' % (hbm_peak/1e9) if hbm_peak else 'unknown'}")
     hb = None
-    if dev.platform == "tpu" and not os.environ.get(
-            "TPUDSP_BENCH_NO_HEARTBEAT"):
+    # heartbeat is OPT-IN diagnostics only: its first concurrent fetch
+    # during the remote compile coincided with the fastest wedge yet
+    # observed (d2h died 8.8 s after claim, 07:47 attempt) -- concurrent
+    # request streams look like an intra-process variant of the
+    # documented two-client wedge
+    if dev.platform == "tpu" and os.environ.get("TPUDSP_BENCH_HEARTBEAT"):
         try:
             hb = _Heartbeat()
         except Exception as e:
@@ -626,7 +642,12 @@ def _impl(platform: str):
 
     cfg = AMConfig()
     cpu_fallback = dev.platform != "tpu"
-    resume = _load_resume(str(dev.platform)) if "--resume" in sys.argv else {}
+    if "--warm-only" in sys.argv:
+        _WARM_ONLY[0] = True
+        log("warm-only: compiling + caching every program, no fetches")
+    resume = ({} if _WARM_ONLY[0] else
+              _load_resume(str(dev.platform)) if "--resume" in sys.argv
+              else {})
     if resume:
         log(f"resume: reusing {len(resume)} prior {dev.platform} rows: "
             f"{sorted(resume)}")
@@ -673,7 +694,8 @@ def _impl(platform: str):
         lo, hi).astype(dt), static_argnums=(5,))
 
     rows = []
-    flush = (_mk_flush(dev) if "--all" in sys.argv else None)
+    flush = (_mk_flush(dev) if "--all" in sys.argv
+             and not _WARM_ONLY[0] else None)
     guard = partial(_row_guard, flush=flush, resume=resume)
 
     # config-1 variants, each individually guarded; the headline metric
@@ -746,7 +768,18 @@ def _impl(platform: str):
             log, rate_stream,
             small=cpu_fallback or bool(os.environ.get("TPUDSP_BENCH_SMALL"))
             or not os.environ.get("TPUDSP_BENCH_BIG"),
-            flush=lambda extra: flush(rows + extra), resume=resume)
+            flush=None if flush is None
+            else (lambda extra: flush(rows + extra)), resume=resume)
+    if _WARM_ONLY[0]:
+        warmed = [r["name"] for r in rows if r.get("warmed")]
+        failed = [r["name"] for r in rows if "error" in r]
+        log(f"warm-only done: {len(warmed)} programs cached"
+            + (f", {len(failed)} failed: {failed}" if failed else ""))
+        print(json.dumps({"metric": "warm_only", "cached": len(warmed),
+                          "failed": failed, "platform": str(dev.platform)}),
+              flush=True)
+        return
+
     ok1 = [r for r in rows if r.get("config") == 1 and "error" not in r]
     row = max(ok1, key=lambda r: r["value"]) if ok1 else None
     failed = [r["name"] for r in rows if "error" in r]
@@ -887,8 +920,8 @@ def main():
         attempts = [("axon,cpu", 1500), ("default", 1200), ("cpu", 900)]
     if require_tpu:
         attempts = [(p, d) for p, d in attempts if p != "cpu"]
-    extra = [a for a in ("--all", "--resume", "--require-tpu")
-             if a in sys.argv]
+    extra = [a for a in ("--all", "--resume", "--require-tpu",
+                         "--warm-only") if a in sys.argv]
     for platform, deadline in attempts:
         rc, out, err = _run_attempt(platform, deadline, extra)
         sys.stderr.write(err)

@@ -53,6 +53,18 @@ for try in 1 2; do
     rc=$?
     echo "bench rc=$rc $(date)" >> "$log"
     cat /tmp/bench_tpu_attempt.out >> "$log"
+    if [ $rc -ne 0 ]; then
+      # the relay is likely d2h-wedged now, but remote COMPILES still
+      # work in that state: spend the downtime warming the persistent
+      # compile cache so the next session's run reaches its first
+      # verified fetch in seconds instead of after minutes of silent
+      # compiles (the window where the wedge strikes)
+      echo "bench failed; warming compile cache in the wedge window" >> "$log"
+      python bench.py --warm-only --all \
+        > /tmp/bench_tpu_warm.out 2> /tmp/bench_tpu_warm.err
+      echo "warm-only rc=$? $(date)" >> "$log"
+      tail -1 /tmp/bench_tpu_warm.out >> "$log"
+    fi
     exit $rc
   fi
   if [ $try -eq 1 ]; then
