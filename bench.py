@@ -640,6 +640,25 @@ def _impl(platform: str):
         except Exception as e:
             log(f"heartbeat unavailable: {type(e).__name__}: {str(e)[:80]}")
 
+    if dev.platform == "tpu":
+        # early canary INSIDE this process: every wedge so far surfaced
+        # on a fetch AFTER the claim-holding process did other work; a
+        # bench claiming right after a probe process exited was dead
+        # within seconds. This fetch timestamps this process's own d2h
+        # health at t~0 (continue either way -- compiles still warm the
+        # terminal-side cache in a wedged state).
+        import time as _time
+        _t0 = _time.time()
+        try:
+            float(np.asarray(jax.jit(lambda v: v + 1.0)(
+                jax.device_put(np.float32(1.0)))))
+            log(f"early canary fetch ok ({_time.time()-_t0:.1f}s "
+                "after backend init)")
+        except Exception as e:
+            log(f"early canary fetch FAILED {_time.time()-_t0:.1f}s after "
+                f"backend init ({type(e).__name__}: {str(e)[:80]}); "
+                "continuing (compiles still warm the terminal cache)")
+
     cfg = AMConfig()
     cpu_fallback = dev.platform != "tpu"
     if "--warm-only" in sys.argv:

@@ -39,13 +39,23 @@ if [ -n "$others" ]; then
 fi
 
 for try in 1 2; do
-  # SIGINT first (KeyboardInterrupt lets the jax client release its
-  # claim); SIGKILL only 120 s later. Hangs often resolve in-process
-  # within ~7-8 min, so the deadline is generous.
-  timeout --signal=INT --kill-after=120 1500 \
-    python "$repo/tools/tpu_probe.py" >> "$log" 2>&1
-  rc=$?
-  echo "probe try $try rc=$rc $(date)" >> "$log"
+  # By default NO separate probe process: every bench that claimed
+  # right after a probe process exited found its d2h path dead within
+  # seconds (measured 05:51-07:52) -- the previous client's teardown is
+  # a prime wedge suspect. The bench runs its own early canary fetch.
+  # TPU_ATTEMPT_PROBE=1 restores the standalone canary (diagnostics).
+  if [ "${TPU_ATTEMPT_PROBE:-0}" = "1" ]; then
+    # SIGINT first (KeyboardInterrupt lets the jax client release its
+    # claim); SIGKILL only 120 s later. Hangs often resolve in-process
+    # within ~7-8 min, so the deadline is generous.
+    timeout --signal=INT --kill-after=120 1500 \
+      python "$repo/tools/tpu_probe.py" >> "$log" 2>&1
+    rc=$?
+    echo "probe try $try rc=$rc $(date)" >> "$log"
+  else
+    rc=0
+    echo "probe skipped (bench is its own canary) $(date)" >> "$log"
+  fi
   if [ $rc -eq 0 ]; then
     cd "$repo"
     python bench.py "${args[@]}" \
