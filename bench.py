@@ -176,13 +176,19 @@ def _make_rate_stream(log, hbm_peak):
         def fetch_scalar(a, what):
             """d2h of a 4-byte scalar: the only trustworthy completion
             witness on this relay. Failure -> the measurement step is
-            invalid."""
+            invalid. Successes and failures both log claim-relative
+            timestamps (T+s since backend init) -- the d2h death curve
+            is the telemetry that localizes the relay failure."""
+            t = (time.time() - _CLAIM_T0[0]) if _CLAIM_T0[0] else -1.0
             try:
-                return np.asarray(a)
+                v = np.asarray(a)
+                log(f"{name}: {what} fetch ok at T+{t:.0f}s")
+                return v
             except Exception as e:
                 raise RuntimeError(
                     f"{name}: measurement invalid -- the {what} d2h "
-                    f"fetch failed ({type(e).__name__}: {str(e)[:90]}); "
+                    f"fetch failed at T+{t:.0f}s "
+                    f"({type(e).__name__}: {str(e)[:90]}); "
                     "in this relay state completion syncs are "
                     "untrustworthy") from None
 
@@ -313,6 +319,7 @@ def _make_rate_stream(log, hbm_peak):
 
 _WEDGE_STREAK = {"n": 0}
 _WARM_ONLY = [False]  # --warm-only: compile+cache every program, no fetches
+_CLAIM_T0 = [0.0]     # backend-init wall time; ladder logs are T+s vs this
 
 
 def _row_guard(log, rows, config, name, fn, backoff=90, flush=None,
@@ -649,6 +656,7 @@ def _impl(platform: str):
         # terminal-side cache in a wedged state).
         import time as _time
         _t0 = _time.time()
+        _CLAIM_T0[0] = _t0
         try:
             float(np.asarray(jax.jit(lambda v: v + 1.0)(
                 jax.device_put(np.float32(1.0)))))
