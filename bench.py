@@ -192,6 +192,35 @@ def _make_rate_stream(log, hbm_peak):
                     "in this relay state completion syncs are "
                     "untrustworthy") from None
 
+        def patient_fetch(a, what, budget_s=None):
+            """Ladder fetch with IN-PROCESS healing patience: the compile
+            of a big program kills the d2h path instantly (measured:
+            pre-compile fetch ok T+83s, post-compile fetch dead T+85s on
+            a ~2s cache-hit compile), but d2h has healed in-process
+            after ~7-10 min several times (640 s probe stall, 05:03).
+            Retrying the 4-byte fetch inside the SAME claim rides that
+            heal; the compiled executable is still loaded when it comes
+            back."""
+            if _PATIENCE_POOL[0] is None:
+                _PATIENCE_POOL[0] = float(os.environ.get(
+                    "TPUDSP_BENCH_PATIENCE", "720"))
+            k = 0
+            while True:
+                try:
+                    return fetch_scalar(a, what)
+                except RuntimeError:
+                    # draw from the PROCESS-WIDE pool: healing waits are
+                    # worth ~12 min once, not once per row
+                    if _PATIENCE_POOL[0] < 45.0:
+                        raise
+                    _PATIENCE_POOL[0] -= 45.0
+                    k += 1
+                    t = (time.time() - _CLAIM_T0[0]) if _CLAIM_T0[0] else -1
+                    log(f"{name}: {what} fetch still dead at T+{t:.0f}s; "
+                        f"patience retry {k} in 45s "
+                        f"(pool {_PATIENCE_POOL[0]:.0f}s)")
+                    time.sleep(45)
+
         if _WARM_ONLY[0]:
             # compile-cache warming: remote compiles WORK while the relay
             # is d2h-wedged, and the persistent cache (jax_compilation_
@@ -212,12 +241,12 @@ def _make_rate_stream(log, hbm_peak):
         tiny = jax.jit(lambda s, a: s + 0.0 * a)
         fetch_scalar(tiny(salts[0], salts[0]), "pre-compile probe")
         st, acc = many(params, state0, x, salts[0], nit_dev[0])
-        fetch_scalar(acc, "post-compile zero-work")
+        patient_fetch(acc, "post-compile zero-work")
         st, acc = many(params, state0, x, salts[0], nit_dev[1])
-        fetch_scalar(acc, "single-iteration")
+        patient_fetch(acc, "single-iteration")
         if n_it > 1:
             st, acc = many(params, st, x, salts[0], nit_dev[n_it])
-            fetch_scalar(acc, f"warmup ({n_it} iters/dispatch)")
+            patient_fetch(acc, f"warmup ({n_it} iters/dispatch)")
 
         # fetch round-trip latency: trivial dispatch + scalar d2h --
         # exactly the overhead each timed group pays once. min-of-3.
@@ -320,6 +349,7 @@ def _make_rate_stream(log, hbm_peak):
 _WEDGE_STREAK = {"n": 0}
 _WARM_ONLY = [False]  # --warm-only: compile+cache every program, no fetches
 _CLAIM_T0 = [0.0]     # backend-init wall time; ladder logs are T+s vs this
+_PATIENCE_POOL = [None]  # process-wide healing-wait budget (seconds)
 
 
 def _row_guard(log, rows, config, name, fn, backoff=90, flush=None,
@@ -942,9 +972,9 @@ def main():
     # deadlines are generous on purpose (see _run_attempt): worst case
     # is remote compiles of ~10 distinct programs + 5 timed repeats each
     if "--all" in sys.argv:
-        attempts = [("axon,cpu", 2700), ("default", 1500), ("cpu", 1800)]
+        attempts = [("axon,cpu", 3300), ("default", 1800), ("cpu", 1800)]
     else:
-        attempts = [("axon,cpu", 1500), ("default", 1200), ("cpu", 900)]
+        attempts = [("axon,cpu", 2400), ("default", 1500), ("cpu", 900)]
     if require_tpu:
         attempts = [(p, d) for p, d in attempts if p != "cpu"]
     extra = [a for a in ("--all", "--resume", "--require-tpu",
