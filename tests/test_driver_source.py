@@ -128,3 +128,18 @@ def test_radiosource_rejects_garbage():
     with pytest.raises(TypeError):
         src(3.14)
     src.stop(drain=False)
+
+
+def test_radiosource_absorbs_push_after_stop():
+    """A driver callback that fires after the runtime stopped must NOT
+    raise into the driver thread: the chunk is counted dropped and the
+    error is surfaced through .error/stats."""
+    bank = _bank()
+    rt = StreamRuntime(bank, sample_format="uint8_raw")
+    src = RadioSource(rt)
+    rt.stop(drain=False)
+    got = src(b"\x7f" * 480)  # late delivery, absorbed
+    assert got == 0
+    assert src.error is not None
+    assert src.stats["error"] is not None
+    assert src.overflow_chunks == 1

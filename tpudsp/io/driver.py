@@ -61,6 +61,7 @@ class RadioSource:
         self.bytes_delivered = 0
         self.overflow_chunks = 0
         self.overflow_bytes = 0
+        self.error: Optional[BaseException] = None
         self._driver = None
         self._thread: Optional[threading.Thread] = None
 
@@ -78,7 +79,14 @@ class RadioSource:
                             f"got {type(data).__name__}")
         self.chunks_delivered += 1
         self.bytes_delivered += len(b)
-        got = self.runtime.push(b)
+        try:
+            got = self.runtime.push(b)
+        except BaseException as e:
+            # a driver's C callback context must never see an exception:
+            # absorb (runtime stopped / pump failed), count the chunk as
+            # dropped, surface the error via .error / stop()
+            self.error = e
+            got = 0
         if got == 0 and len(b):
             self.overflow_chunks += 1
             self.overflow_bytes += len(b)
@@ -113,7 +121,8 @@ class RadioSource:
         s.update(chunks_delivered=self.chunks_delivered,
                  bytes_delivered=self.bytes_delivered,
                  overflow_chunks=self.overflow_chunks,
-                 overflow_bytes=self.overflow_bytes)
+                 overflow_bytes=self.overflow_bytes,
+                 error=None if self.error is None else repr(self.error))
         return s
 
 
