@@ -36,10 +36,11 @@ safeguards now make that impossible:
      completion (measured: 278-644% of the HBM roofline at >100%
      spread); a d2h fetch cannot lie — it either returns real bytes or
      fails, and a failed fetch invalidates the row. The fetch round
-     trip is amortized by auto-scaling the per-dispatch iteration count
-     (a traced fori_loop bound — no recompile) until the measured
-     round-trip latency is <~3% of the timed region, and the measured
-     latency is recorded in the row (`fetch_lat_ms`).
+     trip amortizes over an escalating GROUP of work-capped chained
+     dispatches (1, 2, 4, ... dispatches per fetch, linked through the
+     carried state); the measured round-trip latency, group size and
+     per-dispatch work are recorded in the row (`fetch_lat_ms`,
+     `dispatch_group`, `iters_per_dispatch`).
   3. Roofline accounting: each row reports the implied HBM input rate
      (wire bytes/sample, reading the input ONCE — the floor of any real
      chain's traffic) against the chip's peak HBM bandwidth, and the
