@@ -756,6 +756,61 @@ def _impl(platform: str):
              and not _WARM_ONLY[0] else None)
     guard = partial(_row_guard, flush=flush, resume=resume)
 
+    # STAGE rows FIRST (config 0, honest partial measurements): the
+    # claim's d2h path is youngest and healthiest BEFORE the big chain
+    # program loads (the measured death trigger). The bank/chain
+    # FRONT END alone -- one strided-window MXU matmul + NCO rotation,
+    # the kernel carrying ~all of the chains' FLOPs and HBM traffic. Its
+    # HLO is a fraction of the full chain's: on this relay the d2h path
+    # survives tiny-program loads and dies on the full chain's, so these
+    # may measure where the chain cannot. Labeled "stage": never a
+    # substitute for the config-1 metric.
+    def _mk_stage(fmt):
+        from tpudsp.chains.bank import BankConfig, build as _bb
+        from tpudsp.kernels import decimate as kdec
+        scfg = BankConfig(freqs=tuple(
+            float(f) for f in np.linspace(-1e6, 1e6, 16, endpoint=False)))
+        p16, s16 = host_build(_bb, scfg, fmt)
+        K1, D1_ = scfg.taps1, scfg.decim1
+
+        def stage_step(p, tail, iq):
+            X = jnp.concatenate([tail, iq])
+            njl = iq.shape[0] // D1_
+            if fmt == "u8":
+                y1 = kdec.strided_cfir_matmul_wide_u8(
+                    X, p.taps_re, p.taps_im, D1_, njl)
+            elif fmt == "i16":
+                y1 = kdec.strided_cfir_matmul_wide_i16(
+                    X, p.taps_re, p.taps_im, D1_, njl)
+            else:
+                y1 = kdec.strided_cfir_matmul_wide(
+                    X, p.taps_re, p.taps_im, D1_, njl)
+            return X[-(K1 - 1):], y1
+
+        return p16, s16.in_tail, stage_step
+
+    sblock = blocks[0]
+    siq = [None]
+
+    def row_stage(fmt, bps):
+        p16, tail0, stage_step = _mk_stage(fmt)
+        if siq[0] is None:
+            siq[0] = _gen_iq(sblock)
+        if fmt == "u8":
+            xs = _wire(siq[0], 127.5, 127.5, 0, 255, jnp.uint8)
+        elif fmt == "i16":
+            xs = _wire(siq[0], 32767.0, 0.0, -32767, 32767, jnp.int16)
+        else:
+            xs = siq[0]
+        r = rate_stream(f"stage_frontend16_{fmt}", stage_step,
+                        p16, tail0, xs, sblock, bytes_per_sample=bps)
+        r["stage"] = True  # partial measurement, NOT the chain metric
+        return r
+
+    guard(log, rows, 0, "stage_frontend16_c64",
+          lambda: row_stage("c64", 8))
+    guard(log, rows, 0, "stage_frontend16_u8", lambda: row_stage("u8", 2))
+
     # config-1 variants, each individually guarded; the headline metric
     # is the fastest variant that measured successfully
     c64_name = f"am_chain_fused[{dev.platform}]"
@@ -817,54 +872,6 @@ def _impl(platform: str):
     guard(log, rows, 1, "am_chain_fused_pallas", row_pallas)
     guard(log, rows, 1, "am_chain_fused_i16", row_i16)
     guard(log, rows, 1, "am_chain_fused_u8", row_u8)
-
-    # STAGE rows (config 0, honest partial measurements): the bank/chain
-    # FRONT END alone -- one strided-window MXU matmul + NCO rotation,
-    # the kernel carrying ~all of the chains' FLOPs and HBM traffic. Its
-    # HLO is a fraction of the full chain's: on this relay the d2h path
-    # survives tiny-program loads and dies on the full chain's, so these
-    # may measure where the chain cannot. Labeled "stage": never a
-    # substitute for the config-1 metric.
-    def _mk_stage(fmt):
-        from tpudsp.chains.bank import BankConfig, build as _bb
-        from tpudsp.kernels import decimate as kdec
-        scfg = BankConfig(freqs=tuple(
-            float(f) for f in np.linspace(-1e6, 1e6, 16, endpoint=False)))
-        p16, s16 = host_build(_bb, scfg, fmt)
-        K1, D1_ = scfg.taps1, scfg.decim1
-
-        def stage_step(p, tail, iq):
-            X = jnp.concatenate([tail, iq])
-            njl = iq.shape[0] // D1_
-            if fmt == "u8":
-                y1 = kdec.strided_cfir_matmul_wide_u8(
-                    X, p.taps_re, p.taps_im, D1_, njl)
-            elif fmt == "i16":
-                y1 = kdec.strided_cfir_matmul_wide_i16(
-                    X, p.taps_re, p.taps_im, D1_, njl)
-            else:
-                y1 = kdec.strided_cfir_matmul_wide(
-                    X, p.taps_re, p.taps_im, D1_, njl)
-            return X[-(K1 - 1):], y1
-
-        return p16, s16.in_tail, stage_step
-
-    def row_stage(fmt, bps):
-        p16, tail0, stage_step = _mk_stage(fmt)
-        if fmt == "u8":
-            xs = _wire(iq_j, 127.5, 127.5, 0, 255, jnp.uint8)
-        elif fmt == "i16":
-            xs = _wire(iq_j, 32767.0, 0.0, -32767, 32767, jnp.int16)
-        else:
-            xs = iq_j
-        r = rate_stream(f"stage_frontend16_{fmt}", stage_step,
-                        p16, tail0, xs, block, bytes_per_sample=bps)
-        r["stage"] = True  # partial measurement, NOT the chain metric
-        return r
-
-    guard(log, rows, 0, "stage_frontend16_c64",
-          lambda: row_stage("c64", 8))
-    guard(log, rows, 0, "stage_frontend16_u8", lambda: row_stage("u8", 2))
 
     if "--all" in sys.argv:
         # TPU also runs the smaller secondary blocks: every one then fits
