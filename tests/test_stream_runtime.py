@@ -265,3 +265,62 @@ def test_stream_runtime_stereo_wire_format():
     assert streamed.shape == serial.shape
     assert streamed.shape[1] == 2
     assert np.array_equal(streamed, serial)
+
+
+def test_stream_runtime_drain_pop_push_race_deterministic():
+    """Regression (round 5): a pop_block whose ring read STARTS before a
+    concurrent push's write returns None; stop() then sets _stopping and
+    the pump must NOT exit on that stale None -- the drain barrier does
+    one fresh pop after observing _stopping. Simulated deterministically:
+    the first pop returns None regardless of ring content."""
+    raw = _am_bytes(2 * BLOCK)
+    seen = []
+    rt = StreamRuntime(AMReceiver(AMConfig(), block_len=BLOCK),
+                       on_audio=lambda a, meta: seen.append(meta["block"]))
+    # pause the pump on a fence so the raced pop provably happens after
+    # push: pop #1 waits for the push, then reports None (the race)
+    pushed = threading.Event()
+    real_pop = rt._stream.pop_block
+    calls = []
+
+    def raced_pop():
+        calls.append(None)
+        if len(calls) == 1:
+            pushed.wait(timeout=5.0)
+            return None  # ring read raced the concurrent write
+        return real_pop()
+
+    rt._stream.pop_block = raced_pop
+    rt.push(raw)
+    pushed.set()
+    rt.stop(drain=True)
+    assert seen == [0, 1], f"drain dropped blocks: {seen}"
+
+
+def test_stream_runtime_drain_under_load():
+    """Probabilistic twin of the deterministic race test: tight
+    push-then-stop iterations under scheduler pressure (the original
+    witness was 1-in-20 under full-suite load)."""
+    raw = _am_bytes(2 * BLOCK)
+    rx = AMReceiver(AMConfig(), block_len=BLOCK)
+    stop_burn = threading.Event()
+
+    def burner():
+        x = 1.0
+        while not stop_burn.is_set():
+            x = x * 1.0000001 + 1e-9
+
+    burners = [threading.Thread(target=burner, daemon=True)
+               for _ in range(4)]
+    for b in burners:
+        b.start()
+    try:
+        for i in range(30):
+            seen = []
+            rt = StreamRuntime(rx, on_audio=lambda a, m: seen.append(
+                m["block"]))
+            rt.push(raw)
+            rt.stop(drain=True)
+            assert seen == [0, 1], f"iter {i}: drain dropped blocks {seen}"
+    finally:
+        stop_burn.set()

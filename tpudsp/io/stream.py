@@ -203,10 +203,28 @@ class StreamRuntime:
                 iq = self._stream.pop_block()
                 if iq is None:
                     if self._stopping:
-                        return
-                    self._data.wait(timeout=0.05)
-                    self._data.clear()
-                    continue
+                        if not self._drain:
+                            return
+                        # Drain barrier (measured race, round 5): that
+                        # pop's ring read can START before a concurrent
+                        # push()'s ring write and return None, after
+                        # which stop() sets _stopping -- exiting here
+                        # would strand complete blocks in the ring with
+                        # no error (observed under load: seen == [],
+                        # pending_bytes == 2 blocks). Once _stopping is
+                        # OBSERVED, every push that returned before
+                        # stop() was called is visible in the ring
+                        # (push happens-before stop in the producer,
+                        # _stopping publication synchronizes with this
+                        # read), so one fresh pop decides: None now
+                        # really means drained.
+                        iq = self._stream.pop_block()
+                        if iq is None:
+                            return
+                    else:
+                        self._data.wait(timeout=0.05)
+                        self._data.clear()
+                        continue
                 if self._stopping and not self._drain:
                     return
                 audio = self.receiver(iq)  # jitted: enqueues device work
