@@ -530,20 +530,11 @@ def _bench_secondary(log, rate_stream, small: bool = False, flush=None,
                            to_u8(lazy_iq("xc", nc, 4)),
                            nc, bytes_per_sample=2)
 
-    def row_ch_conv():
-        # one-pass depthwise-conv PFB accumulation (ChannelizerConfig
-        # engine='conv'); equality-pinned vs 'shift' by
-        # tests/test_channelizer.py::test_channelizer_conv_engine_matches_shift
-        from dataclasses import replace
-        ccfg_c = replace(ccfg, channelizer=replace(ccfg.channelizer,
-                                                   engine="conv"))
-        cp2, cs2 = bank_build(ccfg_c)
-        return rate_stream("channelized_1024ch_conv",
-                           partial(chstep, cfg=ccfg_c), cp2, cs2,
-                           lazy_iq("xc", nc, 4), nc)
-
+    # engine='conv' is no longer benched: round-5 keep-or-kill verdict
+    # demoted it to a documented experiment (3.4x slower than 'shift' on
+    # the only measured platform; see ChannelizerConfig.engine and
+    # tools/engine_verdict.py). test_channelizer keeps it equality-pinned.
     guard(log, rows, 4, "channelized_1024ch", row_ch)
-    guard(log, rows, 4, "channelized_1024ch_conv", row_ch_conv)
     guard(log, rows, 4, "channelized_1024ch_i16", row_ch_i16)
     guard(log, rows, 4, "channelized_1024ch_u8", row_ch_u8)
 
@@ -886,9 +877,15 @@ def _impl(platform: str):
                            partial(am_step_fused, cfg=cfg, exact=False),
                            params_u, state_u, u8, block, bytes_per_sample=2)
 
-    for vname, vfn in (("am_chain_fused_pallas", row_pallas),
-                       ("am_chain_fused_i16", row_i16),
-                       ("am_chain_fused_u8", row_u8)):
+    # the Pallas AM backend row is measured only where its claim lives
+    # (TPU: the fused VMEM kernel); a CPU interpret-mode number is
+    # uninformative and misleading (round-5 engine verdict -- see
+    # tools/engine_verdict.py and chains/am._back_end docstring)
+    variants = [("am_chain_fused_i16", row_i16),
+                ("am_chain_fused_u8", row_u8)]
+    if dev.platform == "tpu":
+        variants.insert(0, ("am_chain_fused_pallas", row_pallas))
+    for vname, vfn in variants:
         if base_ok or (resume and vname in resume):
             guard(log, rows, 1, vname, vfn)
         else:

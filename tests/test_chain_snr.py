@@ -63,4 +63,7 @@ def test_am_chain_snr_vs_oracle():
     # settled region (PLL locked, AGC converged, DC tracker settled)
     settle = len(y) // 2
     s = snr_db(y_oracle[settle:], y[settle:])
-    assert s > 60.0, f"chain SNR vs oracle {s:.1f} dB"
+    # bar raised 60 -> 100 dB (round-5 VERDICT #4) once the whole chain
+    # family routes the rho=0.9995 DC tracker through the compensated
+    # double-float scan; measured 122 dB on this signal (2026-08-21)
+    assert s > 100.0, f"chain SNR vs oracle {s:.1f} dB"

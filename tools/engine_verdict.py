@@ -59,6 +59,30 @@ def main():
         print(f"  {label}: {verdict} ({ratio:.2f}x vs {base}: "
               f"{ro['value']/1e9:.2f} vs {rb['value']/1e9:.2f} Gsamp/s)")
 
+    print("""
+ROUND-5 STANDING VERDICTS (2026-08-21; silicon execution still blocked
+by the relay's big-program d2h death, TPU_ATTEMPTS.md -- decided on the
+evidence that exists per round-4 VERDICT #5):
+
+1. PFB engine='conv': DEMOTED to a documented experiment.
+   Evidence: 3.4x slower than 'shift' on the only measurable platform
+   (6.76 vs 23.15 Msamp/s, CPU, round-4 bench_all.json). Structural:
+   'shift''s blocked-matmul formulation already achieves the one-pass
+   HBM traffic that motivated 'conv', and this backend's conv lowering
+   is a known compile hazard (CLAUDE.md). Consequences: excluded from
+   the bench; still equality-pinned (test_channelizer) and refused by
+   the sharded channelizers. Revisit only on contrary TPU data.
+
+2. Pallas AM backend (am_backend_scan): RETAINED as an experiment,
+   TPU-only in the bench.
+   Evidence: the CPU number (12.5 vs 54.9 Msamp/s) is interpret-mode
+   and therefore uninformative; the kernel Mosaic-compiles for TPU
+   (COMPILECHECK.json) and its claim -- the whole feedback loop
+   VMEM-resident vs multiple HBM round trips for the XLA chunked
+   scans -- is only testable on silicon. The bench measures its row
+   exclusively on platform=tpu so no misleading CPU number is ever
+   reported again.""")
+
 
 if __name__ == "__main__":
     main()

@@ -359,9 +359,14 @@ def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig,
                 lambda s, xs: kab.front_chunked(
                     params.amb, s, xs, chunk=kwarm.chunk_for(w), warmup=w)
             )(state.front, y_am)
+        # rho = 0.9995 pole: route through the compensated double-float
+        # scan (plain f32 floors at ~86 dB, FIDELITY.md); the sharded
+        # twin (parallel/bank._first_order_time_sharded_df) uses the
+        # same formulation so the equivalence pins compare like with
+        # like
+        dcp = kiir.first_order_split_df(1.0 - kam.DC_RHO, kam.DC_RHO)
         dc, dct = jax.vmap(
-            lambda d0, v: kiir.first_order_apply(
-                1.0 - params.amb.dc_rho, params.amb.dc_rho, d0, v)
+            lambda d0, v: kiir.first_order_apply_df(dcp, d0, v)
         )(state.dc, vr)
         coh = (vr - dct) * params.amb.inv_mod
         if len(am_idx) == C:

@@ -32,6 +32,7 @@ from jax import lax
 from ..design import firdes, iirdes
 from ..kernels import agc as kagc
 from ..kernels import am_backend as kab
+from ..kernels import ampmodem as kam
 from ..kernels import iir as kiir
 from ..kernels import warmup as kwarm
 from ..kernels.pll import PllState
@@ -56,10 +57,17 @@ class ChannelizerConfig:
     # the FULL channel spacing, so a cutoff_frac up to ~1.0 gives a flat
     # passband across the whole channel with no aliasing at its edges.
     oversample: int = 1
-    # PFB branch-accumulation engine: 'shift' (T shifted multiply-adds
-    # over the frame matrix) or 'conv' (ONE depthwise dilated conv pass,
-    # _branch_accumulate_conv) -- identical results, different HBM
-    # traffic shapes; the bench picks the faster on the target chip.
+    # PFB branch-accumulation engine. 'shift' (T shifted multiply-adds
+    # over the frame matrix) is THE engine: it won the round-5 keep-or-
+    # kill verdict (tools/engine_verdict.py) -- 3.4x faster than 'conv'
+    # on the only measurable platform (23.2 vs 6.8 Msamp/s, CPU,
+    # bench_all.json round 4) and its formulation already achieves the
+    # one-pass HBM traffic that motivated 'conv'. 'conv' (ONE depthwise
+    # dilated conv pass, _branch_accumulate_conv) is RETAINED AS AN
+    # EXPERIMENT only: equality-pinned by test_channelizer, excluded
+    # from the bench, refused by the sharded channelizers; revisit only
+    # if TPU execution evidence (blocked by the relay, TPU_ATTEMPTS.md)
+    # ever contradicts the structural argument.
     engine: str = "shift"
 
     def __post_init__(self):
@@ -374,9 +382,11 @@ def bank_step(params, state: DemodBankState, x, *, cfg: ChannelizedBankConfig,
                 lambda s, xs: kab.front_chunked(
                     amb, s, xs, chunk=kwarm.chunk_for(w), warmup=w)
             )(front0, y)
+        # compensated df scan for the rho=0.9995 DC pole (FIDELITY.md;
+        # same formulation as the sharded twins)
+        dcp = kiir.first_order_split_df(1.0 - kam.DC_RHO, kam.DC_RHO)
         dc2, dct = jax.vmap(
-            lambda d0, v: kiir.first_order_apply(
-                1.0 - amb.dc_rho, amb.dc_rho, d0, v))(dc0, vr)
+            lambda d0, v: kiir.first_order_apply_df(dcp, d0, v))(dc0, vr)
         return fr, dc2, (vr - dct) * amb.inv_mod, modes
 
     if not mixed and _demod_tuple(cfg)[0] == "fm":

@@ -241,20 +241,17 @@ def first_order_split_df(b0_64: float, a_64: float):
             jnp.float32(b_hi), jnp.float32(np.float64(b0_64) - b_hi))
 
 
-def first_order_apply_df(params_df, y_prev, x):
-    """Compensated (double-float) twin of first_order_apply for REAL x.
-
-    Near-unit poles (e.g. the ampmodem DC tracker, rho = 0.9995) floor
-    the plain f32 associative scan at ~86 dB (measured, FIDELITY.md):
-    the prefix products a^k stay ~1 while the u-prefix accumulates ~N
-    roundings of comparable magnitude. The (hi, lo) carry holds ~48
-    mantissa bits through the combine; boundary state stays f32 (per-
-    block rounding, does not compound)."""
+def first_order_prefix_df(params_df, x):
+    """Inclusive double-float prefixes of the first-order recurrence on
+    the trailing axis: returns (aph, apl, uph, upl) with
+    y[k] = (ap[k]) * y_entry + up[k] in (hi, lo) arithmetic. Shared core
+    of first_order_apply_df and the cross-shard transition-aggregate
+    scans (parallel/bank.py _first_order_time_sharded_df): the LAST
+    element of each prefix is the block/shard transition aggregate."""
     a_hi, a_lo, b_hi, b_lo = params_df
-    n = x.shape[0]
-    ah = jnp.broadcast_to(a_hi, (n,))
-    al = jnp.broadcast_to(a_lo, (n,))
-    uh, ul = _two_prod(jnp.broadcast_to(b_hi, (n,)), x)
+    ah = jnp.broadcast_to(a_hi, x.shape)
+    al = jnp.broadcast_to(a_lo, x.shape)
+    uh, ul = _two_prod(jnp.broadcast_to(b_hi, x.shape), x)
     uh, ul = _df_renorm(uh, ul + b_lo * x)
 
     def combine(e1, e2):
@@ -264,11 +261,23 @@ def first_order_apply_df(params_df, y_prev, x):
         u = _df_add(_df_mul((a2h, a2l), (u1h, u1l)), (u2h, u2l))
         return (a[0], a[1], u[0], u[1])
 
-    aph, apl, uph, upl = jax.lax.associative_scan(combine, (ah, al, uh, ul))
+    return jax.lax.associative_scan(combine, (ah, al, uh, ul), axis=-1)
+
+
+def first_order_apply_df(params_df, y_prev, x):
+    """Compensated (double-float) twin of first_order_apply for REAL x.
+
+    Near-unit poles (e.g. the ampmodem DC tracker, rho = 0.9995) floor
+    the plain f32 associative scan at ~86 dB (measured, FIDELITY.md):
+    the prefix products a^k stay ~1 while the u-prefix accumulates ~N
+    roundings of comparable magnitude. The (hi, lo) carry holds ~48
+    mantissa bits through the combine; boundary state stays f32 (per-
+    block rounding, does not compound)."""
+    aph, apl, uph, upl = first_order_prefix_df(params_df, x)
     yh, yl = _df_add(_df_mul((aph, apl),
                              (y_prev, jnp.zeros_like(y_prev))), (uph, upl))
     y = yh + yl
-    return y[-1], y
+    return y[..., -1], y
 
 
 def first_order_init(dtype=jnp.float32):

@@ -80,6 +80,48 @@ def _deemph_time_sharded(b0, a, y0, x_local):
     return y_local[..., -1], y_local
 
 
+def _first_order_time_sharded_df(params_df, y0, x_local):
+    """Compensated (double-float) twin of _deemph_time_sharded for
+    near-unit poles -- the coherent-AM DC tracker (rho = 0.9995), whose
+    plain-f32 cross-shard scan floors at ~86 dB (FIDELITY.md). Local df
+    prefixes (kernels/iir.first_order_prefix_df) plus df transition
+    aggregates across time shards keep ~48 mantissa bits end to end, so
+    the sharded stream matches kernels/iir.first_order_apply_df -- the
+    single-chip chain's formulation -- and the equivalence pins compare
+    like with like (round-5 VERDICT #4: both sides move together).
+    Boundary carry stays f32 (per-block rounding, does not compound)."""
+    from ..kernels.iir import _df_add, _df_mul, first_order_prefix_df
+    aph, apl, uph, upl = first_order_prefix_df(params_df, x_local)
+    a_h = lax.all_gather(aph[..., -1], TIME_AXIS)    # (T, C)
+    a_l = lax.all_gather(apl[..., -1], TIME_AXIS)
+    u_h = lax.all_gather(uph[..., -1], TIME_AXIS)
+    u_l = lax.all_gather(upl[..., -1], TIME_AXIS)
+    idx = lax.axis_index(TIME_AXIS)
+    T = lax.axis_size(TIME_AXIS)
+
+    def body(carry, t):
+        pah, pal, puh, pul = carry
+        take = t < idx
+        na = _df_mul((pah, pal), (a_h[t], a_l[t]))
+        nu = _df_add(_df_mul((a_h[t], a_l[t]), (puh, pul)),
+                     (u_h[t], u_l[t]))
+        sel = lambda new, old: jnp.where(take, new, old)
+        return (sel(na[0], pah), sel(na[1], pal),
+                sel(nu[0], puh), sel(nu[1], pul)), None
+
+    init = to_varying((jnp.ones_like(aph[..., -1]),
+                       jnp.zeros_like(aph[..., -1]),
+                       jnp.zeros_like(uph[..., -1]),
+                       jnp.zeros_like(uph[..., -1])), TIME_AXIS)
+    (pah, pal, puh, pul), _ = lax.scan(body, init, jnp.arange(T))
+    eh, el = _df_add(_df_mul((pah, pal), (y0, jnp.zeros_like(y0))),
+                     (puh, pul))
+    yh, yl = _df_add(_df_mul((aph, apl),
+                             (eh[..., None], el[..., None])), (uph, upl))
+    y_local = yh + yl
+    return y_local[..., -1], y_local
+
+
 def coherent_am_time_sharded(amb, front0, dc0, y1, warmup: int):
     """Coherent AM back end (AGC + carrier PLL + DC tracker) across time
     shards: the warmup-chunk scheme IS the time-sharding scheme -- each
@@ -122,7 +164,10 @@ def coherent_am_time_sharded(amb, front0, dc0, y1, warmup: int):
     front, (vr, _modes) = jax.vmap(
         lambda s, xs: kab.front_chunked(
             amb, s, xs, chunk=chunk_for(warmup), warmup=warmup))(entry, y1)
-    dc, dct = _deemph_time_sharded(1.0 - amb.dc_rho, amb.dc_rho, dc0, vr)
+    from ..kernels.ampmodem import DC_RHO
+    from ..kernels.iir import first_order_split_df
+    dc, dct = _first_order_time_sharded_df(
+        first_order_split_df(1.0 - DC_RHO, DC_RHO), dc0, vr)
     return front, dc, (vr - dct) * amb.inv_mod
 
 

@@ -313,9 +313,12 @@ def tp_bank_shard(params, state: TPBankState, x_loc, *,
                 amb, s, xs, chunk=kwarm.chunk_for(w), warmup=w)
         )(fl, y.reshape(c_loc, -1))
         fr = jax.tree.map(lambda v: v.reshape(c1_loc, c2), front_f)
+        # compensated df scan for the rho=0.9995 DC pole (FIDELITY.md;
+        # matches the single-chip channelizer's formulation)
+        from ..kernels.ampmodem import DC_RHO
+        dcp = kiir.first_order_split_df(1.0 - DC_RHO, DC_RHO)
         dc_f, dct = jax.vmap(
-            lambda d0, v: kiir.first_order_apply(
-                1.0 - amb.dc_rho, amb.dc_rho, d0, v)
+            lambda d0, v: kiir.first_order_apply_df(dcp, d0, v)
         )(state.dc.reshape(c_loc), vr)
         return (fr, dc_f.reshape(c1_loc, c2),
                 ((vr - dct) * amb.inv_mod).reshape(c1_loc, c2, -1))
