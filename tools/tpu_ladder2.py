@@ -245,6 +245,39 @@ def main():
             flush_session(session)
             return None
 
+    # --- claim-health gate ---------------------------------------------
+    # A claim can be born into a still-wedged relay (observed 14:11:
+    # pre-compile probe dead at T+3s, 45 min after the prior death).
+    # Unlike a post-big-program-load death, a dead-at-birth claim has
+    # loaded nothing and can heal in-process (05:03 telemetry: a 640 s
+    # first-fetch stall resolved, then everything worked) -- so probe
+    # with patience before spending rungs, and bail out cleanly if the
+    # relay never comes up.
+    if on_tpu:
+        probe = jax.jit(lambda v: v + 1.0)
+        ok0 = False
+        deadline0 = min(budget * 0.4, 900.0)
+        k = 0
+        while T() < deadline0:
+            try:
+                np.asarray(probe(jnp.float32(1.0)))
+                ok0 = True
+                log(f"claim-health probe ok (try {k})")
+                break
+            except Exception as e:
+                k += 1
+                log(f"claim-health probe dead (try {k}): "
+                    f"{type(e).__name__}: {str(e)[:90]}; retry in 45s")
+                time.sleep(45)
+        if not ok0:
+            session["summary"] = {"d2h_dead": True, "banked": [],
+                                  "born_dead": True, "probe_tries": k}
+            flush_session(session)
+            log("claim never became healthy; exiting without burning "
+                "the rungs")
+            print(json.dumps(session["summary"]), flush=True)
+            return
+
     # --- size ladder ---------------------------------------------------
     best = None
     for name, mk in RUNGS:
