@@ -232,8 +232,12 @@ def _back_end(params: AMParams, state: AMState, baseband, cfg: AMConfig, exact: 
     am_state, audio = kam.ampdemod_apply(
         state.am, z, params.h_hilb, params.mod, "dsb", cfg.carrier,
         exact_pll=exact)
-    d_state, pcm = kiir.first_order_apply(
-        params.deemph_b0, params.deemph_a, state.deemph, audio)
+    # de-emphasis coefficients re-derived at trace time (cfg is static):
+    # the MXU-blocked scan needs Python floats and lowers to ~1/8 the
+    # associative scan's HLO (program size gates relay loadability)
+    b0_de, a_de = iirdes.deemphasis_coeffs(cfg.pcm_rate)
+    d_state, pcm = kiir.first_order_apply_blocked(
+        b0_de, a_de, state.deemph, audio)
     return agc_state, am_state, d_state, pcm, modes
 
 

@@ -359,14 +359,13 @@ def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig,
                 lambda s, xs: kab.front_chunked(
                     params.amb, s, xs, chunk=kwarm.chunk_for(w), warmup=w)
             )(state.front, y_am)
-        # rho = 0.9995 pole: route through the compensated double-float
-        # scan (plain f32 floors at ~86 dB, FIDELITY.md); the sharded
-        # twin (parallel/bank._first_order_time_sharded_df) uses the
-        # same formulation so the equivalence pins compare like with
-        # like
-        dcp = kiir.first_order_split_df(1.0 - kam.DC_RHO, kam.DC_RHO)
+        # rho = 0.9995 pole: MXU-blocked scan with double-float block
+        # carry (plain f32 floors at ~86 dB, FIDELITY.md; blocked
+        # measures 110.6 dB vs f64 serial and lowers to ~6% of the
+        # associative df scan's HLO)
         dc, dct = jax.vmap(
-            lambda d0, v: kiir.first_order_apply_df(dcp, d0, v)
+            lambda d0, v: kiir.first_order_apply_blocked(
+                1.0 - kam.DC_RHO, kam.DC_RHO, d0, v)
         )(state.dc, vr)
         coh = (vr - dct) * params.amb.inv_mod
         if len(am_idx) == C:
@@ -396,9 +395,11 @@ def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig,
             params.ssb_mask[:, None], audio_ssb, audio)
         y1_tail = Yf[:, -(K2s - 1):]
 
-    # de-emphasis: first-order assoc scan vmapped over channels
+    # de-emphasis: MXU-blocked first-order scan vmapped over channels
+    # (coefficients re-derived at trace time -- cfg is static)
+    b0_de, a_de = iirdes.deemphasis_coeffs(cfg.audio_rate)
     deemph, audio = jax.vmap(
-        lambda y0, xs: kiir.first_order_apply(params.deemph_b0, params.deemph_a, y0, xs)
+        lambda y0, xs: kiir.first_order_apply_blocked(b0_de, a_de, y0, xs)
     )(state.deemph, audio)
 
     new_state = BankState(

@@ -382,11 +382,11 @@ def bank_step(params, state: DemodBankState, x, *, cfg: ChannelizedBankConfig,
                 lambda s, xs: kab.front_chunked(
                     amb, s, xs, chunk=kwarm.chunk_for(w), warmup=w)
             )(front0, y)
-        # compensated df scan for the rho=0.9995 DC pole (FIDELITY.md;
-        # same formulation as the sharded twins)
-        dcp = kiir.first_order_split_df(1.0 - kam.DC_RHO, kam.DC_RHO)
+        # MXU-blocked scan for the rho=0.9995 DC pole (110.6 dB vs f64
+        # serial, ~6% of the df associative scan's HLO; FIDELITY.md)
         dc2, dct = jax.vmap(
-            lambda d0, v: kiir.first_order_apply_df(dcp, d0, v))(dc0, vr)
+            lambda d0, v: kiir.first_order_apply_blocked(
+                1.0 - kam.DC_RHO, kam.DC_RHO, d0, v))(dc0, vr)
         return fr, dc2, (vr - dct) * amb.inv_mod, modes
 
     if not mixed and _demod_tuple(cfg)[0] == "fm":
@@ -406,8 +406,12 @@ def bank_step(params, state: DemodBankState, x, *, cfg: ChannelizedBankConfig,
                                                 state.dc)
             base = base.at[idx].set(coh)
     fd_prev = Yc[:, -1]
+    # MXU-blocked de-emphasis (coefficients re-derived at trace time;
+    # cfg is static -- the params copies stay for compat)
+    b0_de, a_de = iirdes.deemphasis_coeffs(cfg.channelizer.chan_rate,
+                                           cfg.deemph_tau)
     deemph, audio = jax.vmap(
-        lambda y0, xs: kiir.first_order_apply(b0, a, y0, xs)
+        lambda y0, xs: kiir.first_order_apply_blocked(b0_de, a_de, y0, xs)
     )(state.deemph, base)
     metrics = BlockMetrics(
         rssi=None if front is None else kmet.rssi_db(front.agc.g),

@@ -87,8 +87,12 @@ def _stereo_step(params, state: StereoState, iq, *, cfg: StereoConfig):
     pilot, lr, (pilot_level, pilot_freq) = kpll.stereo_pilot_apply(
         state.pilot, s, dtheta_u, with_metrics=True)
     aud_tail, (left, right) = kpll.stereo_matrix_lowpass(h_aud, state.aud_tail, s, lr)
-    dl, left = kiir.first_order_apply(b0, a, state.dl, left)
-    dr, right = kiir.first_order_apply(b0, a, state.dr, right)
+    # MXU-blocked de-emphasis at the composite rate (coefficients
+    # re-derived at trace time; cfg is static -- params copies stay for
+    # compat)
+    b0_de, a_de = iirdes.deemphasis_coeffs(cfg.iq_rate / cfg.decim1)
+    dl, left = kiir.first_order_apply_blocked(b0_de, a_de, state.dl, left)
+    dr, right = kiir.first_order_apply_blocked(b0_de, a_de, state.dr, right)
     # audio decimation 600k -> 48k (rate 2/decim2 = 2/25): interleaved
     # output k sits at composite position k*decim2/2, i.e. even outputs at
     # 25j (phase-0 taps, window start 0) and odd outputs at 25j + 12.5

@@ -152,10 +152,19 @@ def agc_apply_chunked(params: AgcParams, state: AgcState, x, chunk: int, warmup:
     vpad = jnp.concatenate(
         [jnp.zeros((warmup,), bool), jnp.ones((xp.shape[0],), bool)]
     )
-    starts = jnp.arange(nchunks) * chunk
-    widx = starts[:, None] + jnp.arange(warmup)[None, :]
-    wwin = wpad[widx]  # (nchunks, warmup); row i = samples [i*chunk-warmup, i*chunk)
-    wval = vpad[widx]
+    if warmup <= chunk:
+        # window i = wpad[i*chunk : i*chunk+warmup] = the first `warmup`
+        # columns of chunk-row i: reshape+slice instead of a gather whose
+        # (nchunks, warmup) index matrix lowers as a dense i32 constant
+        # (see kernels/pll._chunked_scan -- program size gates relay
+        # loadability, TPU_LADDER.json)
+        wwin = wpad[:nchunks * chunk].reshape(nchunks, chunk)[:, :warmup]
+        wval = vpad[:nchunks * chunk].reshape(nchunks, chunk)[:, :warmup]
+    else:
+        starts = jnp.arange(nchunks) * chunk
+        widx = starts[:, None] + jnp.arange(warmup)[None, :]
+        wwin = wpad[widx]  # (nchunks, warmup): [i*chunk-warmup, i*chunk)
+        wval = vpad[widx]
 
     # Entry state for chunk i: run the loop over its warmup window starting
     # from the carried block-start state (exact for chunks whose whole

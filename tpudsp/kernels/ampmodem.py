@@ -70,11 +70,15 @@ def ampdemod_apply(state: AmpDemodState, x, h_hilb, mod_index, am_type: str, car
         m_raw = upper if am_type == "usb" else lower
     if carrier:
         # rho = 0.9995 puts the pole near the unit circle: the plain f32
-        # scan floors at ~86 dB (measured, FIDELITY.md) -- run the DC
-        # tracker through the compensated double-float scan
-        dc, dc_track = iir.first_order_apply_df(
-            iir.first_order_split_df(1.0 - DC_RHO, DC_RHO), dc, m_raw
-        )
+        # scan floors at ~86 dB (measured, FIDELITY.md). The MXU-blocked
+        # scan (kernels/iir.py first_order_apply_blocked) keeps the
+        # long-range carry in double-float (110.6 dB vs the f64 serial
+        # oracle, bar 100) while lowering to ~6% of the associative df
+        # scan's HLO -- program size is what the relay's load-death
+        # threshold meters (TPU_LADDER.json), and the matmul form is the
+        # TPU-idiomatic one regardless.
+        dc, dc_track = iir.first_order_apply_blocked(
+            1.0 - DC_RHO, DC_RHO, dc, m_raw)
         y = (m_raw - dc_track) * inv_mod
     else:
         y = m_raw * inv_mod

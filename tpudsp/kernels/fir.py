@@ -52,10 +52,14 @@ def _conv_valid_fft(X, h):
     pad = (K - 1) + nseg * hop - X.shape[0]
     Xp = jnp.pad(X, (0, max(pad, 0)))
     # segment s covers output samples [s*hop, s*hop + hop), reads
-    # Xp[s*hop : s*hop + F)
-    starts = np.arange(nseg) * hop
-    idx = starts[:, None] + np.arange(F)[None, :]
-    segs = Xp[jnp.asarray(idx)]
+    # Xp[s*hop : s*hop + F). Window length F = hop + (K-1) < 2*hop, so
+    # segment s spans hop-rows s and s+1 exactly: two reshapes + a
+    # concat, NO gather -- a gather's (nseg, F) index matrix lowers as a
+    # dense i32 constant (measured 1.18 MB of WBFM stereo's HLO) and
+    # program size gates relay loadability (TPU_LADDER.json).
+    Xp = jnp.pad(Xp, (0, (nseg + 1) * hop - Xp.shape[0]))
+    A = Xp.reshape(nseg + 1, hop)
+    segs = jnp.concatenate([A[:-1], A[1:, : K - 1]], axis=1)
     complex_in = jnp.iscomplexobj(X) or jnp.iscomplexobj(h)
     Hf = jnp.fft.fft(h.astype(jnp.complex64), n=F)
     Sf = jnp.fft.fft(segs.astype(jnp.complex64), axis=-1)

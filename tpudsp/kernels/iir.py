@@ -280,6 +280,104 @@ def first_order_apply_df(params_df, y_prev, x):
     return y[..., -1], y
 
 
+def first_order_apply_blocked(b0: float, a: float, y_prev, x,
+                              L: int = 32):
+    """MXU-blocked first-order scan: y[n] = b0 x[n] + a y[n-1].
+
+    The TPU-native formulation of the near-unit-pole recurrence (DC
+    tracker rho = 0.9995, de-emphasis): within an L-sample block the
+    inclusive prefix is ONE lower-triangular matmul against the a-power
+    kernel T[i, j] = b0 a^{i-j} (j <= i) -- generated from iota at
+    trace time, so the HLO carries no (L, L) constant blob -- and the
+    cross-block entry value is carried exactly-ish in (hi, lo)
+    double-float through a tiny sequential lax.scan (n/L steps).
+
+    Chosen over lax.associative_scan twins for BOTH reasons that matter
+    here (measured 2026-08-21, n = 6000): HLO text 147 kB (df scan) /
+    26 kB (f32 scan) -> ~3 kB, and the FLOPs land on the MXU instead of
+    a log-depth slice/concat cascade. Accuracy: f32 rounding is
+    confined WITHIN one L-block (error ~L eps: measured 129/123/117/111
+    dB at L=16/32/64/128 vs the f64 serial oracle at rho=0.9995 over
+    50k samples; default L=32 balances precision against MXU tile
+    utilization -- the plain f32 scan floors at ~86 dB), the long-range
+    accumulation runs in double-float, and a^L is split from float64.
+
+    b0, a MUST be static Python floats (fold design-time coefficients
+    at trace time, e.g. iirdes.deemphasis_coeffs / ampmodem.DC_RHO).
+    x: (N,) real; y_prev: f32 scalar. Returns (y_last, y)."""
+    b0 = float(b0)
+    a = float(a)
+    n = x.shape[-1]
+    B = -(-n // L)
+    pad = B * L - n
+    xp = jnp.pad(x, (0, pad)) if pad else x
+    i = jnp.arange(L, dtype=jnp.float32)
+    E = i[:, None] - i[None, :]
+    # a^E is finite for E < 0 too (a^-L ~ 1.07 at rho=0.9995); the tril
+    # mask zeroes the upper triangle afterwards, so no inf*0 anywhere
+    T = jnp.where(E >= 0, jnp.float32(b0) * jnp.float32(a) ** E, 0.0)
+    powers = jnp.float32(a) ** (i + 1.0)
+    U = xp.reshape(B, L)
+    Yin = jnp.einsum("bl,il->bi", U, T,
+                     preferred_element_type=jnp.float32)
+    S = Yin[:, -1]
+    aL = np.float64(a) ** L
+    aL_hi = jnp.float32(aL)
+    aL_lo = jnp.float32(np.float64(aL) - np.float64(np.float32(aL)))
+
+    def body(carry, s_b):
+        ch, cl = carry  # df entry value y[bL-1] for this block
+        nh, nl = _df_add(_df_mul((aL_hi, aL_lo), (ch, cl)),
+                         (s_b, jnp.zeros_like(s_b)))
+        return (nh, nl), (ch, cl)
+
+    # carry init inherits S's varying-axes set (0*S[0]) so the scan is
+    # well-typed under shard_map whatever the callers' sharding
+    y0 = jnp.asarray(y_prev, jnp.float32) + 0.0 * S[0]
+    (_, _), (EH, EL) = jax.lax.scan(body, (y0, 0.0 * S[0]), S)
+    Y = Yin + powers[None, :] * (EH + EL)[:, None]
+    y = Y.reshape(B * L)[:n]
+    return y[-1], y
+
+
+def first_order_apply_blocked_c64(b0: float, a: float, y_prev, x,
+                                  L: int = 32):
+    """Complex-input twin of first_order_apply_blocked (same within-
+    block lower-triangular a-power matmul) with a plain complex64
+    cross-block lax.scan carry instead of the (hi, lo) double-float one
+    -- the precision class of the f32 associative scan it replaces,
+    which is all the pilot smoothers need (rho = 0.999, phase estimate
+    normalized to unit magnitude downstream); the df carry is for the
+    near-unit REAL poles with >= 100 dB pins. HLO: ~4 kB vs the
+    associative scan's log-depth slice/pad cascade (~60 kB per cascade
+    at N = 125k). b0, a static Python floats; x: (N,) complex64."""
+    b0 = float(b0)
+    a = float(a)
+    n = x.shape[-1]
+    B = -(-n // L)
+    pad = B * L - n
+    xp = jnp.pad(x, (0, pad)) if pad else x
+    i = jnp.arange(L, dtype=jnp.float32)
+    E = i[:, None] - i[None, :]
+    T = jnp.where(E >= 0, jnp.float32(b0) * jnp.float32(a) ** E, 0.0)
+    powers = (jnp.float32(a) ** (i + 1.0)).astype(jnp.complex64)
+    U = xp.reshape(B, L)
+    Yin = jnp.einsum("bl,il->bi", U, T.astype(jnp.complex64),
+                     preferred_element_type=jnp.complex64)
+    S = Yin[:, -1]
+    aL = jnp.complex64(np.float64(a) ** L)
+
+    def body(c, s_b):
+        return aL * c + s_b, c
+
+    # carry init inherits S's varying-axes set (see the real twin)
+    _, Ecar = jax.lax.scan(
+        body, jnp.asarray(y_prev, jnp.complex64) + 0.0 * S[0], S)
+    Y = Yin + powers[None, :] * Ecar[:, None]
+    y = Y.reshape(B * L)[:n]
+    return y[-1], y
+
+
 def first_order_init(dtype=jnp.float32):
     return jnp.zeros((), dtype=dtype)
 
