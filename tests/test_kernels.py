@@ -457,3 +457,59 @@ def test_first_order_df_near_unit_pole():
     y32 = np.asarray(y32, np.float64)
     snr32 = 10 * np.log10(np.mean(ref ** 2) / np.mean((ref - y32) ** 2))
     assert snr32 < snr - 20.0, (snr32, snr)
+
+
+def test_first_order_blocked_near_unit_pole():
+    """MXU-blocked first-order scan (round 5): >= 115 dB vs the f64
+    serial recurrence at the DC tracker's rho = 0.9995 over 50k samples
+    (measured 122.9 at L=32; the plain f32 scan floors at ~86), and the
+    carried y_last continues an exactly split stream."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    n = 50_000
+    rho = 0.9995
+    x = (np.sin(2 * np.pi * 0.02 * np.arange(n)) + 0.3
+         + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    y64 = np.empty(n)
+    yp = 0.0
+    for k in range(n):
+        yp = (1 - rho) * float(x[k]) + rho * yp
+        y64[k] = yp
+    yl, y = kiir.first_order_apply_blocked(1 - rho, rho, jnp.float32(0.0),
+                                           jnp.asarray(x))
+    err = y64 - np.asarray(y, np.float64)
+    snr = 10 * np.log10(np.sum(y64 ** 2) / np.sum(err ** 2))
+    assert snr > 115.0, f"blocked scan SNR {snr:.1f} dB"
+    # split-stream continuation: block boundary state carries exactly
+    y1l, ya = kiir.first_order_apply_blocked(1 - rho, rho,
+                                             jnp.float32(0.0),
+                                             jnp.asarray(x[:17_321]))
+    y2l, yb = kiir.first_order_apply_blocked(1 - rho, rho, y1l,
+                                             jnp.asarray(x[17_321:]))
+    ycat = np.concatenate([np.asarray(ya), np.asarray(yb)])
+    errs = ycat.astype(np.float64) - y64
+    snr_split = 10 * np.log10(np.sum(y64 ** 2) / np.sum(errs ** 2))
+    assert snr_split > 110.0, f"split-stream SNR {snr_split:.1f} dB"
+
+
+def test_first_order_blocked_c64_matches_serial():
+    """Complex blocked twin (pilot smoothers): matches the f64 serial
+    complex one-pole to the f32 class it replaces."""
+    import numpy as np
+    rng = np.random.default_rng(8)
+    n = 30_000
+    rho = 0.999
+    z = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    ref = np.empty(n, np.complex128)
+    c = 0.2 + 0.1j
+    for k in range(n):
+        c = (1 - rho) * complex(z[k]) + rho * c
+        ref[k] = c
+    yl, y = kiir.first_order_apply_blocked_c64(
+        1 - rho, rho, jnp.complex64(0.2 + 0.1j), jnp.asarray(z))
+    err = ref - np.asarray(y, np.complex128)
+    snr = 10 * np.log10(np.sum(np.abs(ref) ** 2)
+                        / np.sum(np.abs(err) ** 2))
+    assert snr > 90.0, f"blocked c64 SNR {snr:.1f} dB"
+    assert abs(complex(yl) - ref[-1]) < 1e-4
