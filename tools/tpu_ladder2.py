@@ -176,17 +176,22 @@ def main():
     def rung_fe(C, fmt="c64"):
         tre, tim, K = mk_taps(C)
         if fmt == "u8":
-            tail = jnp.full((K - 1, 2), 127, jnp.uint8)
+            # tails are host-built: eager array creation on the axon
+            # device is a per-op remote compile that degraded relay
+            # states reject (observed 15:27 session: every fe rung's
+            # build died on its eager jnp.zeros/full)
+            tail = host_build(lambda: jnp.full((K - 1, 2), 127, jnp.uint8))
             x = gen_u8(N)
-            return fe_step_u8, (tre * (1 / 127.5), tim * (1 / 127.5)), \
-                tail, x, N, 2
-        tail = jnp.zeros((K - 1,), jnp.complex64)
+            pu8 = host_build(lambda: (tre * (1 / 127.5),
+                                      tim * (1 / 127.5)))
+            return fe_step_u8, pu8, tail, x, N, 2
+        tail = host_build(lambda: jnp.zeros((K - 1,), jnp.complex64))
         return fe_step, (tre, tim), tail, gen_iq(N), N, 8
 
     def rung_dup16():
         tre1, tim1, K = mk_taps(16)
         tre2, tim2, _ = mk_taps(16)
-        tail = jnp.zeros((K - 1,), jnp.complex64)
+        tail = host_build(lambda: jnp.zeros((K - 1,), jnp.complex64))
         return fe_step_dup, (tre1, tim1, jnp.flip(tre2, 0), tim2), \
             tail, gen_iq(N), N, 8
 
@@ -272,6 +277,7 @@ def main():
                     "am_chain_fused_1M": 1}
 
     dead = [False]
+    build_fails = [0]
     banked_rows = []  # bench's flush merges vs a STARTUP snapshot, so
     # every call must carry all rows banked this session
 
@@ -284,6 +290,14 @@ def main():
         except Exception as e:
             rec["error"] = f"build: {type(e).__name__}: {str(e)[:120]}"
             log(f"{rname}: {rec['error']}")
+            if "UNIMPLEMENTED" in str(e):
+                build_fails[0] += 1
+                if build_fails[0] >= 3:
+                    # the relay is rejecting compiles/loads themselves
+                    # (observed 15:27): nothing downstream can work
+                    dead[0] = True
+                    log("3 consecutive UNIMPLEMENTED builds: relay "
+                        "rejecting program loads; bailing out")
             flush_session(session)
             return None
         try:
