@@ -44,7 +44,8 @@ from ..kernels import am_backend as kab
 from ..kernels import ampmodem as kam
 from ..kernels import decimate as kdec
 from ..kernels.warmup import warmup_for
-from .bank import _deemph_time_sharded, coherent_am_time_sharded
+from .bank import (_first_order_time_sharded_blocked,
+                   coherent_am_time_sharded)
 from .halo import left_halo
 from .mesh import TIME_AXIS
 
@@ -100,8 +101,8 @@ def _sharded_am_step(taps, amb, state: SAMState, iq_loc, *, offsets, Q: int,
     front0 = jax.tree.map(lambda v: v[None], state.front)
     front, dc, audio = coherent_am_time_sharded(
         amb, front0, state.dc[None], y48[None, :], warmup=warmup)
-    deemph, pcm = _deemph_time_sharded(
-        jnp.float32(b0), jnp.float32(a), state.deemph[None], audio)
+    deemph, pcm = _first_order_time_sharded_blocked(
+        b0, a, state.deemph[None], audio)
 
     new_state = SAMState(
         rs_tail=new_tail[None, :],                        # (1, kf) -> (T, kf)

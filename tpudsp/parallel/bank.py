@@ -10,12 +10,16 @@ Shards chains/bank.py's step over a (channel, time) mesh with shard_map:
        neighbor (ppermute over ICI); leftmost shard uses the carried tail.
     2. FM discriminator: 1-sample baseband halo (same ppermute pattern).
     3. audio conv: (K2-1)-sample baseband halo.
-  De-emphasis is a first-order linear recurrence across the whole stream:
-  each time shard computes its local associative scan plus its (a^n, u)
-  transition aggregate; an all_gather of the T tiny aggregates gives each
-  shard its exclusive prefix, which it applies as an offset -- the log-depth
-  cross-device scan carry of SURVEY.md section 5 ("prefix-scan state
-  propagation"), with T-element gathers instead of per-sample chains.
+  De-emphasis and the coherent-AM DC tracker are first-order linear
+  recurrences across the whole stream: each time shard runs the
+  MXU-blocked local scan (kernels/iir.first_order_apply_blocked) and
+  exposes its (a^n_loc, u_total) transition aggregate; an all_gather of
+  the T tiny aggregates plus an exclusive double-float prefix gives
+  each shard its entry value, applied via the exact first-order algebra
+  y = y_zero + a^{k+1} entry -- the cross-device scan carry of
+  SURVEY.md section 5 ("prefix-scan state propagation"), with T-element
+  gathers instead of per-sample chains
+  (_first_order_time_sharded_blocked).
 
 The per-shard math is identical to the single-chip bank_step; a mesh of
 (1, 1) reproduces it exactly (tested).
@@ -42,83 +46,57 @@ def _left_halo_1d(x_local, halo, fill):
     return left_halo(x_local, halo, TIME_AXIS, fill)
 
 
-def _deemph_time_sharded(b0, a, y0, x_local):
-    """First-order recurrence y[n] = b0 x[n] + a y[n-1] across time shards.
-    y0 applies before the globally-first sample."""
+def _first_order_time_sharded_blocked(b0: float, a: float, y0, x_local):
+    """Cross-shard first-order scan for near-unit poles -- the
+    coherent-AM DC tracker (rho = 0.9995), whose plain-f32 cross-shard
+    scan floors at ~86 dB (FIDELITY.md). Same formulation as the
+    single-chip chains since round 5 (kernels/iir.
+    first_order_apply_blocked: MXU-blocked local prefix with a
+    double-float cross-block carry; 122.9 dB isolated vs f64 serial at
+    L=32, ~6% of the df associative scan's HLO -- round-5 VERDICT #4:
+    both sides move together):
+
+      1. zero-entry local scan per shard (vmapped blocked scan);
+      2. shard transition aggregates (a^{n_loc} from float64 host math,
+         u_total = the zero-entry scan's last sample) combined across
+         the time axis in (hi, lo) double-float via all_gather + an
+         exclusive sequential prefix (T elements);
+      3. y = y_zero + a^{k+1} * entry  (exact first-order algebra).
+
+    b0, a: static Python floats; y0: (C,) f32; x_local: (C, n_loc)."""
+    from ..kernels.iir import _df_add, _df_mul, first_order_apply_blocked
     n_loc = x_local.shape[-1]
-    a_arr = jnp.broadcast_to(a, x_local.shape)
-    u = b0 * x_local
-
-    def combine(e1, e2):
-        a1, u1 = e1
-        a2, u2 = e2
-        return a1 * a2, a2 * u1 + u2
-
-    ap, up = lax.associative_scan(combine, (a_arr, u), axis=-1)
-    # local transition aggregate: (a^{n_loc}, u_total)
-    agg = (ap[..., -1], up[..., -1])
-    # gather all shards' aggregates along time axis -> exclusive prefix
-    a_all = lax.all_gather(agg[0], TIME_AXIS)        # (T, C)
-    u_all = lax.all_gather(agg[1], TIME_AXIS)        # (T, C)
-    idx = lax.axis_index(TIME_AXIS)
-    T = lax.axis_size(TIME_AXIS)
-    # exclusive prefix over the tiny T axis (sequential, T elements);
-    # the carry init is constant but becomes per-shard (idx-dependent)
-    def body(carry, t):
-        pa, pu = carry
-        take = t < idx
-        pa2 = jnp.where(take, pa * a_all[t], pa)
-        pu2 = jnp.where(take, pu * a_all[t] + jnp.where(take, u_all[t], 0.0), pu)
-        return (pa2, pu2), None
-
-    init = to_varying((jnp.ones_like(agg[0]), jnp.zeros_like(agg[1])),
-                      TIME_AXIS)
-    (pa, pu), _ = lax.scan(body, init, jnp.arange(T))
-    # entry value for this shard = pa * y0 + pu
-    y_entry = pa * y0 + pu
-    y_local = ap * y_entry[..., None] + up
-    return y_local[..., -1], y_local
-
-
-def _first_order_time_sharded_df(params_df, y0, x_local):
-    """Compensated (double-float) twin of _deemph_time_sharded for
-    near-unit poles -- the coherent-AM DC tracker (rho = 0.9995), whose
-    plain-f32 cross-shard scan floors at ~86 dB (FIDELITY.md). Local df
-    prefixes (kernels/iir.first_order_prefix_df) plus df transition
-    aggregates across time shards keep ~48 mantissa bits end to end, so
-    the sharded stream matches kernels/iir.first_order_apply_df -- the
-    single-chip chain's formulation -- and the equivalence pins compare
-    like with like (round-5 VERDICT #4: both sides move together).
-    Boundary carry stays f32 (per-block rounding, does not compound)."""
-    from ..kernels.iir import _df_add, _df_mul, first_order_prefix_df
-    aph, apl, uph, upl = first_order_prefix_df(params_df, x_local)
-    a_h = lax.all_gather(aph[..., -1], TIME_AXIS)    # (T, C)
-    a_l = lax.all_gather(apl[..., -1], TIME_AXIS)
-    u_h = lax.all_gather(uph[..., -1], TIME_AXIS)
-    u_l = lax.all_gather(upl[..., -1], TIME_AXIS)
+    _, y_zero = jax.vmap(
+        lambda v: first_order_apply_blocked(b0, a, jnp.float32(0.0), v)
+    )(x_local)
+    u_tot = y_zero[..., -1]                           # (C,) f32
+    aS64 = np.float64(a) ** n_loc
+    aS_hi = jnp.float32(aS64)
+    aS_lo = jnp.float32(aS64 - np.float64(np.float32(aS64)))
+    u_all = lax.all_gather(u_tot, TIME_AXIS)          # (T, C)
     idx = lax.axis_index(TIME_AXIS)
     T = lax.axis_size(TIME_AXIS)
 
     def body(carry, t):
         pah, pal, puh, pul = carry
         take = t < idx
-        na = _df_mul((pah, pal), (a_h[t], a_l[t]))
-        nu = _df_add(_df_mul((a_h[t], a_l[t]), (puh, pul)),
-                     (u_h[t], u_l[t]))
+        na = _df_mul((pah, pal), (aS_hi, aS_lo))
+        nu = _df_add(_df_mul((aS_hi, aS_lo), (puh, pul)),
+                     (u_all[t], jnp.zeros_like(u_all[t])))
         sel = lambda new, old: jnp.where(take, new, old)
         return (sel(na[0], pah), sel(na[1], pal),
                 sel(nu[0], puh), sel(nu[1], pul)), None
 
-    init = to_varying((jnp.ones_like(aph[..., -1]),
-                       jnp.zeros_like(aph[..., -1]),
-                       jnp.zeros_like(uph[..., -1]),
-                       jnp.zeros_like(uph[..., -1])), TIME_AXIS)
+    init = to_varying((jnp.ones_like(u_tot), jnp.zeros_like(u_tot),
+                       jnp.zeros_like(u_tot), jnp.zeros_like(u_tot)),
+                      TIME_AXIS)
     (pah, pal, puh, pul), _ = lax.scan(body, init, jnp.arange(T))
     eh, el = _df_add(_df_mul((pah, pal), (y0, jnp.zeros_like(y0))),
                      (puh, pul))
-    yh, yl = _df_add(_df_mul((aph, apl),
-                             (eh[..., None], el[..., None])), (uph, upl))
-    y_local = yh + yl
+    entry = eh + el                                   # (C,) f32
+    k = jnp.arange(n_loc, dtype=jnp.float32)
+    powv = jnp.float32(a) ** (k + 1.0)
+    y_local = y_zero + powv[None, :] * entry[:, None]
     return y_local[..., -1], y_local
 
 
@@ -165,9 +143,8 @@ def coherent_am_time_sharded(amb, front0, dc0, y1, warmup: int):
         lambda s, xs: kab.front_chunked(
             amb, s, xs, chunk=chunk_for(warmup), warmup=warmup))(entry, y1)
     from ..kernels.ampmodem import DC_RHO
-    from ..kernels.iir import first_order_split_df
-    dc, dct = _first_order_time_sharded_df(
-        first_order_split_df(1.0 - DC_RHO, DC_RHO), dc0, vr)
+    dc, dct = _first_order_time_sharded_blocked(
+        1.0 - DC_RHO, DC_RHO, dc0, vr)
     return front, dc, (vr - dct) * amb.inv_mod
 
 
@@ -312,8 +289,13 @@ def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConf
             params.ssb_mask[:, None], audio_ssb, audio)
         y1_tail = Yf[:, -(K2s - 1):]
 
-    deemph, audio = _deemph_time_sharded(
-        params.deemph_b0, params.deemph_a, state.deemph, audio)
+    # static coefficients re-derived at trace time (cfg static), so the
+    # de-emphasis runs the same MXU-blocked cross-shard scan as the DC
+    # tracker (kernels/iir.first_order_apply_blocked locally)
+    from ..design import iirdes as _iirdes
+    _b0de, _ade = _iirdes.deemphasis_coeffs(cfg.audio_rate)
+    deemph, audio = _first_order_time_sharded_blocked(
+        _b0de, _ade, state.deemph, audio)
 
     # per-shard state, with an explicit leading/inner time axis of size 1 so
     # out_specs can lay shards out along TIME and the caller selects the

@@ -130,8 +130,12 @@ def scanner_step(params, state: DemodBankState, x_local, *, cfg: ChannelizedBank
 
     # de-emphasis across time shards: local assoc scan + tiny cross-shard
     # prefix of transition aggregates (same pattern as parallel/bank.py)
-    from .bank import _deemph_time_sharded
-    deemph, audio = _deemph_time_sharded(b0, a, state.deemph, base)
+    from ..design import iirdes as _iirdes
+    from .bank import _first_order_time_sharded_blocked
+    _b0de, _ade = _iirdes.deemphasis_coeffs(
+        cfg.channelizer.chan_rate, cfg.deemph_tau)
+    deemph, audio = _first_order_time_sharded_blocked(
+        _b0de, _ade, state.deemph, base)
 
     new_state = DemodBankState(
         ch=ChannelizerState(tail=new_tail[None, :]),
