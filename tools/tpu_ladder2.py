@@ -26,7 +26,10 @@ This pass discriminates the real trigger and fixes both:
     each level's row is banked before the next is tried.
 
 Artifacts: TPU_LADDER.json (session record) + bench_all.json rows
-(names stage2_*). Usage:
+(stage2_* partial programs, plus REAL bench-config rows under their
+bench names -- bank16, channelized_1024ch, wbfm_mono/stereo,
+am_chain_fused[tpu]/_u8/_i16 -- which merge as measured config rows
+and feed bench.py's artifact-headline fallback). Usage:
   python tools/tpu_ladder2.py [--cpu] [--budget 2400]
 """
 from __future__ import annotations
@@ -238,6 +241,13 @@ def main():
                     [w.real, w.imag], axis=1) * 127.5 + 127.5),
                     0, 255).astype(jnp.uint8))(v))
             return step, p, s, u8, block, 2
+        if fmt == "i16":
+            v = gen_iq(block)
+            i16 = jax.block_until_ready(jax.jit(
+                lambda w: jnp.clip(jnp.round(jnp.stack(
+                    [w.real, w.imag], axis=1) * 32767.0),
+                    -32767, 32767).astype(jnp.int16))(v))
+            return step, p, s, i16, block, 4
         return step, p, s, gen_iq(block), block, 8
 
     def rung_wbfm_stereo():
@@ -268,13 +278,14 @@ def main():
         ("wbfm_stereo", rung_wbfm_stereo),            # 53 kB, config 2
         ("am_chain_fused[tpu]", rung_am_chain),       # 64 kB, config 1
         ("am_chain_fused_u8", lambda: rung_am_chain(fmt="u8")),
+        ("am_chain_fused_i16", lambda: rung_am_chain(fmt="i16")),
         ("am_chain_fused_1M",
          lambda: rung_am_chain(block=1_000_000)),     # 85 kB
     ]
     BENCH_CONFIG = {"channelized_1024ch": 4, "bank16": 3,
                     "wbfm_mono": 2, "wbfm_stereo": 2,
                     "am_chain_fused[tpu]": 1, "am_chain_fused_u8": 1,
-                    "am_chain_fused_1M": 1}
+                    "am_chain_fused_i16": 1, "am_chain_fused_1M": 1}
 
     dead = [False]
     build_fails = [0]
