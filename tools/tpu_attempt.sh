@@ -26,6 +26,11 @@ if [ -d /root/.axon_site ]; then
 fi
 args=("$@")
 [ ${#args[@]} -eq 0 ] && args=(--all --resume --require-tpu)
+# Since round 5 the efficient first move is the harvest ladder
+# (tools/tpu_ladder2.py): it gates on claim health, runs the real
+# bench-config programs smallest-first, banks each surviving row into
+# bench_all.json, and bails within ~2 min when the relay cannot serve
+# measurements. TPU_ATTEMPT_LADDER=0 skips it (bench only).
 
 echo "=== attempt session start $(date)" >> "$log"
 
@@ -58,6 +63,17 @@ for try in 1 2; do
   fi
   if [ $rc -eq 0 ]; then
     cd "$repo"
+    if [ "${TPU_ATTEMPT_LADDER:-1}" = "1" ]; then
+      python tools/tpu_ladder2.py --budget 2400 \
+        > /tmp/tpu_ladder_attempt.out 2> /tmp/tpu_ladder_attempt.err
+      lrc=$?
+      echo "ladder rc=$lrc $(date)" >> "$log"
+      tail -1 /tmp/tpu_ladder_attempt.out >> "$log" 2>/dev/null
+      # if the ladder banked rows, the bench's --resume/--require-tpu
+      # run right after will reuse them for its headline; if the relay
+      # is dead the ladder exited fast and the bench will fail fast too
+      sleep 60
+    fi
     python bench.py "${args[@]}" \
       > /tmp/bench_tpu_attempt.out 2> /tmp/bench_tpu_attempt.err
     rc=$?
