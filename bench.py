@@ -774,15 +774,9 @@ def _impl(platform: str):
         def stage_step(p, tail, iq):
             X = jnp.concatenate([tail, iq])
             njl = iq.shape[0] // D1_
-            if fmt == "u8":
-                y1 = kdec.strided_cfir_matmul_wide_u8(
-                    X, p.taps_re, p.taps_im, D1_, njl)
-            elif fmt == "i16":
-                y1 = kdec.strided_cfir_matmul_wide_i16(
-                    X, p.taps_re, p.taps_im, D1_, njl)
-            else:
-                y1 = kdec.strided_cfir_matmul_wide(
-                    X, p.taps_re, p.taps_im, D1_, njl)
+            # engine resolves per platform (wide matmul on TPU, native
+            # strided conv on CPU -- kernels/decimate.cfir_engine)
+            y1 = kdec.strided_cfir(X, p.taps_re, p.taps_im, D1_, njl)
             return X[-(K1 - 1):], y1
 
         return p16, s16.in_tail, stage_step

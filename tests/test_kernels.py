@@ -397,6 +397,60 @@ def test_strided_cfir_wide_equals_blocked():
     np.testing.assert_allclose(b, a, rtol=0, atol=2e-4 * np.abs(a).max())
 
 
+def test_strided_cfir_conv_engine_equals_wide():
+    """The conv engine (XLA native strided convolution, the CPU-side
+    winner: 2-9x over the matmul forms) must match the wide matmul on
+    every wire format: c64, raw i16 (pre-scaled taps), raw u8 (affine
+    offset folded into per-channel DC terms)."""
+    import jax.numpy as jnp
+    from tpudsp.kernels import decimate as kdec
+
+    rng = np.random.default_rng(11)
+    C, Kc, Q, nj = 4, 13, 10, 300
+    Tre = rng.standard_normal((C, Kc, Q)).astype(np.float32)
+    Tim = rng.standard_normal((C, Kc, Q)).astype(np.float32)
+    L = (nj + Kc - 1) * Q + 5
+
+    X = (rng.standard_normal(L) + 1j * rng.standard_normal(L)).astype(np.complex64)
+    a = np.asarray(kdec.strided_cfir_matmul_wide(jnp.asarray(X), Tre, Tim, Q, nj))
+    b = np.asarray(kdec.strided_cfir_conv(jnp.asarray(X), Tre, Tim, Q, nj))
+    np.testing.assert_allclose(b, a, rtol=0, atol=2e-4 * np.abs(a).max())
+
+    X16 = rng.integers(-32767, 32768, (L, 2)).astype(np.int16)
+    a16 = np.asarray(kdec.strided_cfir_matmul_wide_i16(jnp.asarray(X16), Tre, Tim, Q, nj))
+    b16 = np.asarray(kdec.strided_cfir_conv_i16(jnp.asarray(X16), Tre, Tim, Q, nj))
+    np.testing.assert_allclose(b16, a16, rtol=0, atol=2e-4 * np.abs(a16).max())
+
+    X8 = rng.integers(0, 256, (L, 2)).astype(np.uint8)
+    a8 = np.asarray(kdec.strided_cfir_matmul_wide_u8(jnp.asarray(X8), Tre, Tim, Q, nj))
+    b8 = np.asarray(kdec.strided_cfir_conv_u8(jnp.asarray(X8), Tre, Tim, Q, nj))
+    np.testing.assert_allclose(b8, a8, rtol=0, atol=2e-4 * np.abs(a8).max())
+
+
+def test_strided_cfir_dispatcher_routes_by_format(monkeypatch):
+    """strided_cfir resolves 'auto' to conv on the CPU backend and
+    honors the TPUDSP_CFIR_ENGINE override for both engines."""
+    import jax.numpy as jnp
+    from tpudsp.kernels import decimate as kdec
+
+    assert kdec.cfir_engine("auto") == "conv"  # tests force the CPU backend
+    monkeypatch.setenv("TPUDSP_CFIR_ENGINE", "wide")
+    assert kdec.cfir_engine("auto") == "wide"
+    monkeypatch.delenv("TPUDSP_CFIR_ENGINE")
+
+    rng = np.random.default_rng(12)
+    C, Kc, Q, nj = 2, 3, 10, 64
+    Tre = rng.standard_normal((C, Kc, Q)).astype(np.float32)
+    Tim = rng.standard_normal((C, Kc, Q)).astype(np.float32)
+    L = (nj + Kc - 1) * Q
+    X = (rng.standard_normal(L) + 1j * rng.standard_normal(L)).astype(np.complex64)
+    a = np.asarray(kdec.strided_cfir(jnp.asarray(X), Tre, Tim, Q, nj, engine="wide"))
+    b = np.asarray(kdec.strided_cfir(jnp.asarray(X), Tre, Tim, Q, nj, engine="conv"))
+    np.testing.assert_allclose(b, a, rtol=0, atol=2e-4 * np.abs(a).max())
+    with pytest.raises(ValueError):
+        kdec.cfir_engine("nope")
+
+
 def test_sos_scan_df_vs_oracle_hard_config():
     """Compensated (double-float) scan on the README's cheby2 order-8
     Fc=0.0075 bandpass config: the plain f32 scan floors near 60 dB here

@@ -294,17 +294,11 @@ def bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConfig,
     n = iq.shape[0]
     X = jnp.concatenate([state.in_tail, iq])  # (K1-1+N,) or (.., 2) i16
 
-    # batched mix+channelize: blocked MXU matmuls -> (C, N/D1) complex
+    # batched mix+channelize -> (C, N/D1) complex; the engine resolves
+    # per platform at trace time (wide MXU matmul on TPU, XLA's native
+    # strided conv on CPU -- kernels/decimate.cfir_engine)
     nj1 = n // D1
-    if X.ndim == 2 and X.dtype == jnp.uint8:  # RTL-SDR wire format
-        y1m = kdec.strided_cfir_matmul_wide_u8(
-            X, params.taps_re, params.taps_im, D1, nj1)
-    elif X.ndim == 2:  # raw-int16 plan (build(input_format='i16'))
-        y1m = kdec.strided_cfir_matmul_wide_i16(
-            X, params.taps_re, params.taps_im, D1, nj1)
-    else:
-        y1m = kdec.strided_cfir_matmul_wide(
-            X, params.taps_re, params.taps_im, D1, nj1)
+    y1m = kdec.strided_cfir(X, params.taps_re, params.taps_im, D1, nj1)
     # output rotation: e^{-j w_c (n0 + m D1)} via uint32 phase lattice
     m = jnp.arange(nj1, dtype=jnp.uint32)
     th_u = (state.phase[:, None]

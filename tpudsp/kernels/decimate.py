@@ -324,6 +324,97 @@ def strided_cfir_matmul_wide_u8(X2, Tre, Tim, Q: int, nj: int):
     return (yr.T + 1j * yi.T).astype(jnp.complex64)
 
 
+def _cfir_conv_core(xr, xi, Tre, Tim, Q: int, nj: int):
+    """Shared lax.conv lowering for the conv engine: xr/xi are (L,)
+    float32 input components with L >= (nj + Kc - 1) * Q; returns
+    (yr, yi) each (C, nj) float32."""
+    C, Kc, Q_ = Tre.shape
+    K1 = Kc * Q_
+    L = (nj + Kc - 1) * Q_
+    lhs = jnp.stack([xr[:L], xi[:L]])[None]              # (1, 2, L)
+    tr = Tre.reshape(C, K1)
+    ti = Tim.reshape(C, K1)
+    # complex product packed as 2C real output features:
+    #   y_r = xr*tr - xi*ti ; y_i = xr*ti + xi*tr
+    rhs = jnp.concatenate(
+        [jnp.stack([tr, -ti], axis=1),
+         jnp.stack([ti, tr], axis=1)], axis=0)           # (2C, 2, K1)
+    Y = lax.conv_general_dilated(
+        lhs, rhs, (Q_,), "VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"))          # (1, 2C, nj)
+    return Y[0, :C], Y[0, C:]
+
+
+def strided_cfir_conv(X, Tre, Tim, Q: int, nj: int):
+    """strided_cfir_matmul_wide's contract through XLA's native strided
+    convolution (the CPU engine: Eigen's conv path beats both matmul
+    formulations ~2-9x there; measured C=16/K=128/2M-sample block: conv
+    52 ms vs blocked 454 ms vs wide 998 ms on this image's CPU). On TPU
+    the wide matmul remains the designed path -- see cfir_engine()."""
+    xr = X.real.astype(jnp.float32)
+    xi = X.imag.astype(jnp.float32)
+    yr, yi = _cfir_conv_core(xr, xi, Tre, Tim, Q, nj)
+    return (yr + 1j * yi).astype(jnp.complex64)
+
+
+def strided_cfir_conv_i16(X2, Tre, Tim, Q: int, nj: int):
+    """Conv-engine twin of strided_cfir_matmul_wide_i16: X2 is (L, 2)
+    int16 wire samples, taps carry the 1/32767 scale pre-folded."""
+    xr = X2[:, 0].astype(jnp.float32)
+    xi = X2[:, 1].astype(jnp.float32)
+    yr, yi = _cfir_conv_core(xr, xi, Tre, Tim, Q, nj)
+    return (yr + 1j * yi).astype(jnp.complex64)
+
+
+def strided_cfir_conv_u8(X2, Tre, Tim, Q: int, nj: int):
+    """Conv-engine twin of strided_cfir_matmul_wide_u8: raw (L, 2) uint8
+    RTL-SDR samples, taps pre-scaled by 1/127.5, per-channel DC terms
+    (the folded -127.5 offset) subtracted from the packed outputs --
+    identical algebra to the wide path."""
+    C, Kc, Q_ = Tre.shape
+    K1 = Kc * Q_
+    xr = X2[:, 0].astype(jnp.float32)
+    xi = X2[:, 1].astype(jnp.float32)
+    yr, yi = _cfir_conv_core(xr, xi, Tre, Tim, Q, nj)
+    sre = jnp.float32(127.5) * jnp.sum(Tre.reshape(C, K1), axis=1)  # (C,)
+    sim = jnp.float32(127.5) * jnp.sum(Tim.reshape(C, K1), axis=1)
+    yr = yr - (sre - sim)[:, None]
+    yi = yi - (sre + sim)[:, None]
+    return (yr + 1j * yi).astype(jnp.complex64)
+
+
+def cfir_engine(engine: str = "auto") -> str:
+    """Resolve the bank front-end engine: 'conv' | 'wide' | 'auto'.
+
+    'auto' (the default everywhere) picks by the process backend at
+    trace time: XLA:CPU's native strided-conv path wins by 2-9x there,
+    while on TPU the wide matmul's 2*K1-deep contraction fills the MXU
+    (conv would contract over the 2 input features only). Override with
+    TPUDSP_CFIR_ENGINE=conv|wide for measurements."""
+    import os
+    eng = os.environ.get("TPUDSP_CFIR_ENGINE", engine)
+    if eng == "auto":
+        eng = "conv" if jax.default_backend() == "cpu" else "wide"
+    if eng not in ("conv", "wide"):
+        raise ValueError(f"unknown cfir engine {eng!r}")
+    return eng
+
+
+def strided_cfir(X, Tre, Tim, Q: int, nj: int, engine: str = "auto"):
+    """Engine-dispatched multi-channel strided complex FIR over one
+    shared input stream (the receiver-bank front end). X: (L,) complex64
+    OR (L, 2) int16/uint8 wire samples (taps must carry the matching
+    pre-folded scale, chains/bank.py build()). Returns (C, nj) c64."""
+    eng = cfir_engine(engine)
+    if X.ndim == 2 and X.dtype == jnp.uint8:
+        f = strided_cfir_conv_u8 if eng == "conv" else strided_cfir_matmul_wide_u8
+    elif X.ndim == 2:
+        f = strided_cfir_conv_i16 if eng == "conv" else strided_cfir_matmul_wide_i16
+    else:
+        f = strided_cfir_conv if eng == "conv" else strided_cfir_matmul_wide
+    return f(X, Tre, Tim, Q, nj)
+
+
 def strided_cfir_matmul(X, Tre, Tim, Q: int, nj: int):
     """Multi-channel complex-taps strided FIR as blocked MXU matmuls
     (the receiver-bank front end: per-channel modulated taps, one shared

@@ -193,17 +193,11 @@ def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConf
         from .halo import left_halo_rows
         halo_in = left_halo_rows(iq, K1 - 1, TIME_AXIS, state.in_tail)
         X = jnp.concatenate([halo_in, iq])
-        if iq.dtype == jnp.uint8:
-            y1m = kdec.strided_cfir_matmul_wide_u8(
-                X, params.taps_re, params.taps_im, D1, nj1)
-        else:
-            y1m = kdec.strided_cfir_matmul_wide_i16(
-                X, params.taps_re, params.taps_im, D1, nj1)
+        y1m = kdec.strided_cfir(X, params.taps_re, params.taps_im, D1, nj1)
     else:
         halo_in = _left_halo_1d(iq, K1 - 1, state.in_tail)
         X = jnp.concatenate([halo_in, iq])
-        y1m = kdec.strided_cfir_matmul_wide(
-            X, params.taps_re, params.taps_im, D1, nj1)
+        y1m = kdec.strided_cfir(X, params.taps_re, params.taps_im, D1, nj1)
 
     # rotation with the GLOBAL output index: m_glob = t_idx*n_loc/D1 + m
     m0 = (t_idx.astype(jnp.uint32) * jnp.uint32(nj1))
