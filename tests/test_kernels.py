@@ -451,6 +451,41 @@ def test_strided_cfir_dispatcher_routes_by_format(monkeypatch):
         kdec.cfir_engine("nope")
 
 
+def test_first_order_blocked_mc_equals_vmapped():
+    """The multi-channel column scan (row-major (N, C), the channelized
+    bank's back-end layout) must match the vmapped per-channel blocked
+    scan to f32 ulp -- same block algebra and double-float carry; only
+    the within-dot accumulation order differs under jit fusion."""
+    rng = np.random.default_rng(5)
+    n, C = 5000, 7
+    x = rng.standard_normal((n, C)).astype(np.float32)
+    y0 = rng.standard_normal(C).astype(np.float32)
+    b0, a = 0.0005, 0.9995
+    last_mc, y_mc = jax.jit(
+        lambda y, v: kiir.first_order_apply_blocked_mc(b0, a, y, v))(
+            jnp.asarray(y0), jnp.asarray(x))
+    _, y_vm = jax.jit(jax.vmap(
+        lambda y, v: kiir.first_order_apply_blocked(b0, a, y, v)))(
+            jnp.asarray(y0), jnp.asarray(x.T))
+    np.testing.assert_allclose(np.asarray(y_mc).T, np.asarray(y_vm),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(last_mc), np.asarray(y_mc)[-1])
+
+
+def test_patan2_matches_arctan2():
+    """The shared polynomial atan2 (kernels/fastmath.py) feeding every
+    FM discriminator and PLL error path: ~2e-6 rad of jnp.arctan2
+    across all octants, exact 0 at the origin."""
+    from tpudsp.kernels.fastmath import patan2
+    rng = np.random.default_rng(6)
+    y = rng.standard_normal(200_000).astype(np.float32) * 3.0
+    x = rng.standard_normal(200_000).astype(np.float32) * 3.0
+    a = np.arctan2(y, x)
+    b = np.asarray(jax.jit(patan2)(jnp.asarray(y), jnp.asarray(x)))
+    assert np.abs(a - b).max() < 5e-6
+    assert float(jax.jit(patan2)(jnp.float32(0), jnp.float32(0))) == 0.0
+
+
 def test_sos_scan_df_vs_oracle_hard_config():
     """Compensated (double-float) scan on the README's cheby2 order-8
     Fc=0.0075 bandpass config: the plain f32 scan floors near 60 dB here

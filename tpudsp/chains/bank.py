@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..design import firdes, iirdes
+from ..kernels.fastmath import patan2
 from ..kernels import agc as kagc
 from ..kernels import am_backend as kab
 from ..kernels import ampmodem as kam
@@ -261,7 +262,7 @@ def build(cfg: BankConfig, input_format: str = "c64"):
 def _fm_base(y1, fd_prev, kd):
     xprev = jnp.concatenate([fd_prev[:, None], y1[:, :-1]], axis=1)
     d = y1 * jnp.conj(xprev)
-    return jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
+    return patan2(d.imag, d.real) / jnp.float32(
         TWO_PI * kd)
 
 

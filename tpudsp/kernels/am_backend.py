@@ -31,6 +31,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .fastmath import patan2
+
 from . import agc as kagc
 from .agc import AgcParams, AgcState, _fsm_step
 from .ampmodem import DC_RHO, PLL_BW
@@ -78,7 +80,7 @@ def init_state() -> AmBackendState:
 
 
 def sample_step(p: AmBackendParams, st: AmBackendState, xr, xi,
-                atan2=jnp.arctan2):
+                atan2=patan2):
     """One combined step on real/imag parts (works on scalars or lanes)."""
     g, y2p, mode, timer = st.agc
     theta, freq = st.pll
@@ -130,7 +132,7 @@ class FrontState(NamedTuple):
 
 
 def front_sample_step(p: AmBackendParams, st: FrontState, xr, xi,
-                      atan2=jnp.arctan2):
+                      atan2=patan2):
     """The FEEDBACK part only (AGC + carrier PLL) -> per-sample vr = Re(v).
 
     The DC tracker and de-emphasis are linear filters of vr with no

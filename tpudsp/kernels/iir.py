@@ -378,6 +378,53 @@ def first_order_apply_blocked_c64(b0: float, a: float, y_prev, x,
     return y[-1], y
 
 
+def first_order_apply_blocked_mc(b0: float, a: float, y_prev, x,
+                                 L: int = 32):
+    """Multi-channel column twin of first_order_apply_blocked: the SAME
+    recurrence y[n, c] = b0 x[n, c] + a y[n-1, c] run down axis 0 of a
+    row-major (N, C) frame matrix — the natural layout of the polyphase
+    channelizer's output, where transposing the c64 frames first costs
+    more than the whole scan (measured: the (M, C) -> (C, M) transpose
+    fused into the back end adds ~30 ms at M=2048, C=1024 on CPU).
+
+    Within-block prefix is one (L, L) lower-triangular a-power matmul
+    against (B, L, C) blocks — an even better MXU shape than the vmapped
+    per-channel form — and the cross-block entry values carry in (hi, lo)
+    double-float through a length-B lax.scan exactly as the 1-D kernel
+    does (same precision class; equality with the vmapped twin is pinned
+    by test_kernels). b0, a static Python floats; x: (N, C) f32;
+    y_prev: (C,) f32. Returns (y_last (C,), y (N, C))."""
+    b0 = float(b0)
+    a = float(a)
+    n, C = x.shape
+    B = -(-n // L)
+    pad = B * L - n
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+    i = jnp.arange(L, dtype=jnp.float32)
+    E = i[:, None] - i[None, :]
+    T = jnp.where(E >= 0, jnp.float32(b0) * jnp.float32(a) ** E, 0.0)
+    powers = jnp.float32(a) ** (i + 1.0)
+    U = xp.reshape(B, L, C)
+    Yin = jnp.einsum("il,blc->bic", T, U,
+                     preferred_element_type=jnp.float32)
+    S = Yin[:, -1, :]                                   # (B, C)
+    aL = np.float64(a) ** L
+    aL_hi = jnp.float32(aL)
+    aL_lo = jnp.float32(np.float64(aL) - np.float64(np.float32(aL)))
+
+    def body(carry, s_b):
+        ch, cl = carry
+        nh, nl = _df_add(_df_mul((aL_hi, aL_lo), (ch, cl)),
+                         (s_b, jnp.zeros_like(s_b)))
+        return (nh, nl), (ch, cl)
+
+    y0 = jnp.asarray(y_prev, jnp.float32) + 0.0 * S[0]
+    (_, _), (EH, EL) = jax.lax.scan(body, (y0, 0.0 * y0), S)
+    Y = Yin + powers[None, :, None] * (EH + EL)[:, None, :]
+    y = Y.reshape(B * L, C)[:n]
+    return y[-1], y
+
+
 def first_order_init(dtype=jnp.float32):
     return jnp.zeros((), dtype=dtype)
 

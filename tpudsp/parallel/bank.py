@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..kernels.fastmath import patan2
 from ..chains.bank import BankConfig, BankParams, BankState, build  # noqa: F401
 from .halo import left_halo
 from .mesh import CHANNEL_AXIS, TIME_AXIS, to_varying
@@ -212,7 +213,7 @@ def sharded_bank_step(params: BankParams, state: BankState, iq, *, cfg: BankConf
         prev = _left_halo_1d(y1, 1, state.fd_prev[:, None])
         xprev = jnp.concatenate([prev, y1[:, :-1]], axis=1)
         d = y1 * jnp.conj(xprev)
-        return jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
+        return patan2(d.imag, d.real) / jnp.float32(
             TWO_PI * cfg.kd)
 
     from ..chains.bank import _audio_decimate, _demod_tuple

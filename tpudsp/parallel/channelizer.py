@@ -39,6 +39,8 @@ from typing import NamedTuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from ..kernels.fastmath import patan2
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -297,7 +299,7 @@ def tp_bank_shard(params, state: TPBankState, x_loc, *,
         xprev = jnp.concatenate([state.fd_prev[:, :, None], y[:, :, :-1]],
                                 axis=2)
         d = y * jnp.conj(xprev)
-        return jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
+        return patan2(d.imag, d.real) / jnp.float32(
             TWO_PI * cfg.kd)
 
     def coherent(y):

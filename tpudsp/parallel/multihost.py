@@ -31,6 +31,7 @@ from ..chains.channelizer import (
     ChannelizedBankConfig, ChannelizerState, DemodBankState, bank_build,
 )
 from ..design import iirdes
+from ..kernels.fastmath import patan2
 from ..kernels import iir as kiir
 from .mesh import TIME_AXIS
 
@@ -99,7 +100,7 @@ def scanner_step(params, state: DemodBankState, x_local, *, cfg: ChannelizedBank
         prev = left_halo(y, 1, TIME_AXIS, prev0[:, None])
         xprev = jnp.concatenate([prev, y[:, :-1]], axis=1)
         d = y * jnp.conj(xprev)
-        return jnp.arctan2(d.imag, d.real).astype(jnp.float32) / jnp.float32(
+        return patan2(d.imag, d.real) / jnp.float32(
             TWO_PI * cfg.kd)
 
     def coherent(y, front0, dc0):
