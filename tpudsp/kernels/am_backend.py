@@ -31,7 +31,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .fastmath import patan2
+# NOTE on atan2 choice: these per-sample steps run inside sequential
+# scans over SMALL lane vectors (the chunk count), where one fused libm
+# atan2 per step beats fastmath.patan2's longer elementwise op chain --
+# measured: the fused AM chain lost ~20% end-to-end with patan2 here.
+# patan2 wins only on the wide elementwise paths (freqdem, fm_base);
+# the Pallas twins pass it explicitly because Mosaic has no atan2.
 
 from . import agc as kagc
 from .agc import AgcParams, AgcState, _fsm_step
@@ -80,7 +85,7 @@ def init_state() -> AmBackendState:
 
 
 def sample_step(p: AmBackendParams, st: AmBackendState, xr, xi,
-                atan2=patan2):
+                atan2=jnp.arctan2):
     """One combined step on real/imag parts (works on scalars or lanes)."""
     g, y2p, mode, timer = st.agc
     theta, freq = st.pll
@@ -132,7 +137,7 @@ class FrontState(NamedTuple):
 
 
 def front_sample_step(p: AmBackendParams, st: FrontState, xr, xi,
-                      atan2=patan2):
+                      atan2=jnp.arctan2):
     """The FEEDBACK part only (AGC + carrier PLL) -> per-sample vr = Re(v).
 
     The DC tracker and de-emphasis are linear filters of vr with no

@@ -24,7 +24,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .fastmath import patan2
 import numpy as np
 
 TWO_PI = np.float32(2.0 * np.pi)
@@ -55,7 +54,7 @@ def pll_carrier_scan(state: PllState, x, bw: float):
     def step(st, xn):
         th, fr = st
         v = xn * jnp.exp(-1j * th)
-        err = patan2(v.imag, v.real)
+        err = jnp.arctan2(v.imag, v.real)  # scalar scan step: libm wins here
         fr = fr + alpha * err
         th_next = _wrap(th + beta * err + fr)
         return PllState(th_next, fr), th
